@@ -1,0 +1,266 @@
+"""M2Trans — coarse-to-fine wavelet-pyramid halo-attention super-resolution
+model, as a pure-functional JAX/NHWC network.
+
+Architecture parity with the reference (models/M2Trans_network.py):
+  head 3x3 reflect conv (colors -> n_feats) -> n_blocks x CFTM -> global
+  residual -> pixel-shuffle tail -> clamp[0, rgb_range] -> crop to (H*s, W*s).
+Inputs are reflect-padded to a multiple of LCM(8,16,32)=32 first (:78-86).
+
+Each CFTM (reference :114-196, constructed with norm=True at :37):
+  InstanceNorm -> channel-chunk into 4 branches of n_feats/4; branch k runs
+  halo window attention at 1/2^(k-1) spatial scale via stacked Haar DWT with
+  cascaded fusion x_k = (x_k + x_{k-1})/2; concat -> 3x3 conv feed-forward ->
+  residual from the un-normalized input.
+
+Params are a plain pytree (nested dicts / lists). The dead-but-checkpointed
+``sub_mean``/``add_mean`` MeanShift convs (reference :30-31, constructed but
+never called in forward, :370-379) are kept in the pytree for checkpoint-key
+parity and marked frozen for the optimizer (see trainable_mask).
+
+TPU-first notes:
+  * NHWC keeps channels on the lane axis; every conv is an MXU matmul.
+  * A ComputePolicy selects f32+HIGHEST contractions (bit-parity eval) or
+    bf16 (speed); params always stay f32.
+  * The whole forward is one jittable function with static shapes; the
+    Pallas fused halo-attention kernel is switched in via policy.use_pallas.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from m2trans_tpu.config import Config
+from m2trans_tpu.ops.conv import conv2d, gelu_exact
+from m2trans_tpu.ops.halo_attention import halo_attention
+from m2trans_tpu.ops.norm import instance_norm
+from m2trans_tpu.ops.pad import pad_to_multiple
+from m2trans_tpu.ops.pixel_shuffle import pixel_shuffle
+from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ComputePolicy:
+    """Numerics policy threaded through the forward pass."""
+
+    dtype: Any = jnp.float32
+    # HIGHEST gives true-f32 contractions (JAX's default runs reduced
+    # precision); bf16 mode leaves it None for full MXU speed.
+    precision: Optional[lax.Precision] = lax.Precision.HIGHEST
+    use_pallas: bool = False
+
+
+def policy_from_config(cfg: Config) -> ComputePolicy:
+    if cfg.dtype == "bfloat16":
+        return ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                             use_pallas=cfg.use_pallas)
+    return ComputePolicy(dtype=jnp.float32, precision=lax.Precision.HIGHEST,
+                         use_pallas=cfg.use_pallas)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches PyTorch's distributions so from-scratch training is
+# statistically equivalent; exact values are irrelevant to checkpoint parity).
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, kh, kw, cin, cout, bias=True):
+    """PyTorch Conv2d default init: kaiming_uniform(a=sqrt(5)) on the weight
+    -> U(+-sqrt(1/fan_in)); bias U(+-1/sqrt(fan_in)); fan_in = cin*kh*kw."""
+    wkey, bkey = jax.random.split(key)
+    fan_in = cin * kh * kw
+    bound = math.sqrt(1.0 / fan_in)
+    p = {"w": jax.random.uniform(wkey, (kh, kw, cin, cout), jnp.float32,
+                                 -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(bkey, (cout,), jnp.float32, -bound, bound)
+    return p
+
+
+def _tblock_init(key, ch, block=8, halo=1):
+    """TBlock init (reference :342-345): qkv kaiming_normal(fan_out, relu)
+    = N(0, sqrt(2/fan_out)) with conv fan_out = 3*ch; rel_h/rel_w ~ N(0,1)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    win = block + 2 * halo
+    std = math.sqrt(2.0 / (3 * ch))
+    return {
+        "qkv_w": jax.random.normal(k1, (1, 1, ch, 3 * ch), jnp.float32) * std,
+        "rel_h": jax.random.normal(k2, (win, ch // 2), jnp.float32),
+        "rel_w": jax.random.normal(k3, (win, ch // 2), jnp.float32),
+    }
+
+
+def _mean_shift(sign: float, rgb_range: float) -> Params:
+    """Frozen DIV2K MeanShift 1x1 conv (reference :27-31, :370-379) — dead in
+    forward but present in checkpoints; kept for key parity."""
+    rgb_mean = jnp.array([0.4488, 0.4371, 0.4040], jnp.float32)
+    return {
+        "w": jnp.eye(3, dtype=jnp.float32).reshape(1, 1, 3, 3),
+        "b": sign * rgb_range * rgb_mean,
+    }
+
+
+def init_m2trans(key: jax.Array, cfg: Config) -> Params:
+    nf = cfg.n_feats
+    keys = jax.random.split(key, cfg.n_blocks + 8)
+    params: Params = {
+        "sub_mean": _mean_shift(-1.0, cfg.rgb_range),
+        "add_mean": _mean_shift(+1.0, cfg.rgb_range),
+        "head": _conv_init(keys[0], 3, 3, cfg.colors, nf),
+    }
+    body: List[Params] = []
+    for i in range(cfg.n_blocks):
+        bk = jax.random.split(keys[1 + i], 5)
+        body.append({
+            # branch widths: nf/4 full-res; DWT x4 channels per level
+            # (reference :119-122 and channel arithmetic in SURVEY.md §2.1)
+            "attn1": _tblock_init(bk[0], nf // 4),
+            "attn2": _tblock_init(bk[1], nf),
+            "attn3": _tblock_init(bk[2], nf * 4),
+            "attn4": _tblock_init(bk[3], nf * 4),
+            "ff": _conv_init(bk[4], 3, 3, nf, nf),
+        })
+    params["body"] = body
+
+    tk = jax.random.split(keys[-1], 3)
+    if cfg.scale == 4:
+        params["tail"] = {
+            "c0": _conv_init(tk[0], 1, 1, nf, nf * 4),
+            "c1": _conv_init(tk[1], 1, 1, nf, nf * 4),
+            "c2": _conv_init(tk[2], 3, 3, nf, 3, bias=False),
+        }
+    else:
+        s = cfg.scale
+        params["tail"] = {
+            "c0": _conv_init(tk[0], 1, 1, nf, nf * s * s),
+            "c1": _conv_init(tk[1], 3, 3, nf, 3, bias=False),
+        }
+    return params
+
+
+def trainable_mask(params: Params) -> Params:
+    """True for trainable leaves; sub_mean/add_mean are frozen
+    (requires_grad=False in the reference, :378-379)."""
+    def mask_for(path_top, sub):
+        frozen = path_top in ("sub_mean", "add_mean")
+        return jax.tree_util.tree_map(lambda _: not frozen, sub)
+
+    return {k: mask_for(k, v) for k, v in params.items()}
+
+
+def param_count(params: Params, trainable_only: bool = False) -> int:
+    if trainable_only:
+        mask = trainable_mask(params)
+        leaves = zip(jax.tree_util.tree_leaves(params),
+                     jax.tree_util.tree_leaves(mask))
+        return sum(x.size for x, m in leaves if m)
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def tblock_apply(p: Params, x: jnp.ndarray, *, block: int = 8, halo: int = 1,
+                 policy: ComputePolicy = ComputePolicy()) -> jnp.ndarray:
+    """Halo-attention transformer block (reference TBlock.forward :290-340).
+
+    Pads H/W to a multiple of ``block`` with reflect padding and crops back
+    (:296-305, :338-340) — never triggered inside the composed model whose
+    inputs are already 32-aligned at every pyramid level, but kept for parity
+    of the standalone op.
+    """
+    h, w = x.shape[1], x.shape[2]
+    ph = (block - h % block) % block
+    pw = (block - w % block) % block
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+
+    qkv = conv2d(x, p["qkv_w"], padding="valid", dtype=policy.dtype,
+                 precision=policy.precision)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if policy.use_pallas:
+        from m2trans_tpu.ops.pallas.halo_attn import halo_attention_pallas
+
+        out = halo_attention_pallas(q, k, v, p["rel_h"], p["rel_w"],
+                                    block=block, halo=halo)
+    else:
+        out = halo_attention(q, k, v, p["rel_h"], p["rel_w"], block=block,
+                             halo=halo, precision=policy.precision)
+    if ph or pw:
+        out = out[:, :h, :w]
+    return out
+
+
+def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
+               block: int = 8, halo: int = 1) -> jnp.ndarray:
+    """Coarse-to-Fine Transformer Module (reference CFTM.forward :132-164,
+    norm=True path)."""
+    def attn(name, z):
+        return tblock_apply(p[name], z, block=block, halo=halo, policy=policy)
+
+    xn = instance_norm(x)
+    x1, x2, x3, x4 = jnp.split(xn, 4, axis=-1)
+
+    x1 = attn("attn1", x1) + x1
+
+    x2 = (x2 + x1) * 0.5
+    x2 = haar_iwt(attn("attn2", haar_dwt(x2))) + x2
+
+    x3 = (x3 + x2) * 0.5
+    x3 = haar_iwt(haar_iwt(attn("attn3", haar_dwt(haar_dwt(x3))))) + x3
+
+    x4 = (x4 + x3) * 0.5
+    x4 = haar_iwt(haar_iwt(attn("attn4", haar_dwt(haar_dwt(x4))))) + x4
+
+    xc = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+    ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",
+                dtype=policy.dtype, precision=policy.precision)
+    return ff + x
+
+
+def tail_apply(p: Params, x: jnp.ndarray, *, scale: int,
+               policy: ComputePolicy) -> jnp.ndarray:
+    """Pixel-shuffle upsampling tail (reference :40-56). x4 = two x2 stages
+    of [1x1 conv -> PixelShuffle(2) -> GELU], then 3x3 reflect conv to RGB;
+    x2/x3 = one [1x1 conv -> PixelShuffle(s) -> GELU] stage."""
+    kw = dict(dtype=policy.dtype, precision=policy.precision)
+    if scale == 4:
+        x = gelu_exact(pixel_shuffle(
+            conv2d(x, p["c0"]["w"], p["c0"]["b"], padding="valid", **kw), 2))
+        x = gelu_exact(pixel_shuffle(
+            conv2d(x, p["c1"]["w"], p["c1"]["b"], padding="valid", **kw), 2))
+        return conv2d(x, p["c2"]["w"], padding="reflect", **kw)
+    x = gelu_exact(pixel_shuffle(
+        conv2d(x, p["c0"]["w"], p["c0"]["b"], padding="valid", **kw), scale))
+    return conv2d(x, p["c1"]["w"], padding="reflect", **kw)
+
+
+def m2trans_apply(params: Params, x: jnp.ndarray, cfg: Config,
+                  policy: Optional[ComputePolicy] = None) -> jnp.ndarray:
+    """Full model forward: (B, H, W, colors) in [0, rgb_range] ->
+    (B, H*scale, W*scale, 3). Mirrors reference M2Trans.forward (:58-76)."""
+    if policy is None:
+        policy = policy_from_config(cfg)
+    h, w = x.shape[1], x.shape[2]
+    x = pad_to_multiple(x, cfg.pad_multiple).astype(policy.dtype)
+
+    res = conv2d(x, params["head"]["w"], params["head"]["b"],
+                 padding="reflect", dtype=policy.dtype,
+                 precision=policy.precision)
+    y = res
+    for blk in params["body"]:
+        y = cftm_apply(blk, y, policy=policy, block=cfg.block_size,
+                       halo=cfg.halo_size)
+    y = res + y
+    y = tail_apply(params["tail"], y, scale=cfg.scale, policy=policy)
+    y = jnp.clip(y.astype(jnp.float32), 0.0, cfg.rgb_range)
+    return y[:, : h * cfg.scale, : w * cfg.scale, :]
