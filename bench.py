@@ -1,0 +1,87 @@
+"""Throughput benchmark: x4 ultrasound SR megapixels/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": "x4_sr_output_megapixels_per_sec_per_chip", "value": N,
+   "unit": "MP/s", "vs_baseline": R}
+
+Recipe: flagship x4 model (n_feats=64, n_blocks=8), batched 96x96 LR frames
+-> 384x384 SR output (the reference's FLOPs-report input recipe,
+train.py:151: (3, 384/scale, 384/scale)). Throughput counts OUTPUT
+megapixels. bfloat16 compute (parity eval uses f32+HIGHEST; see
+tests/test_model.py::test_bfloat16_mode_close_to_f32 for the numerics gap).
+
+Methodology: the remote-tunnel TPU platform dispatches lazily —
+block_until_ready on an unfetched buffer does not gate execution — so we
+time *data-dependent serialized chains* (each call consumes the previous
+call's output) ending in a host fetch, at two chain lengths, and take the
+marginal per-call slope. This removes both dispatch RTT and fetch overhead.
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6)
+and this image has no CUDA GPU to measure the PyTorch baseline directly;
+baseline is a documented FLOPs-derived estimate of the reference on an
+RTX 3090-class GPU: windowed-attention SR models of this size typically run
+a few hundred 96->384 frames/s; we take a favorable 300 frames/s
+(44.2 output MP/s). The north-star target is >=10x that per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_MPS = 44.2  # estimated PyTorch GPU baseline, output MP/s (above)
+
+
+def _chain_time(step, params, x0, n: int) -> float:
+    import numpy as np
+
+    x = x0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = step(params, x)
+    np.asarray(x)  # force execution + fetch
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from m2trans_tpu.config import Config
+    from m2trans_tpu.models import init_m2trans, m2trans_apply, policy_from_config
+
+    cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3, dtype="bfloat16")
+    policy = policy_from_config(cfg)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+
+    batch, h, w = 8, 96, 96
+
+    @jax.jit
+    def step(p, x):
+        y = m2trans_apply(p, x, cfg, policy=policy)
+        # feed the (downsampled) output back as the next input: forces true
+        # serialization on lazily-dispatching backends
+        return y[:, :: cfg.scale, :: cfg.scale, :]
+
+    x0 = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3))
+    _chain_time(step, params, x0, 1)  # warmup / compile
+
+    n1, n2 = 2, 18
+    best = float("inf")
+    for _ in range(3):
+        t1 = _chain_time(step, params, x0, n1)
+        t2 = _chain_time(step, params, x0, n2)
+        best = min(best, (t2 - t1) / (n2 - n1))
+
+    out_mp = batch * (h * cfg.scale) * (w * cfg.scale) / 1e6
+    mps = out_mp / best
+    print(json.dumps({
+        "metric": "x4_sr_output_megapixels_per_sec_per_chip",
+        "value": round(mps, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / BASELINE_MPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

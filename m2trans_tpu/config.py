@@ -74,6 +74,9 @@ class Config:
     captions_path: Optional[str] = None  # text descriptions for SemanticLoss
     medclip_path: Optional[str] = None  # pretrained MedCLIP weights dir
     faithful_clip: bool = False  # bit-faithful reference SemanticLoss quirks
+    # training image index range (reference hardcodes 1..1000,
+    # datas/us1k.py:74-76); [start, end) like Python ranges
+    train_range: tuple = (1, 1001)
     resume: Optional[str] = None
     config: Optional[str] = None  # the yaml path itself (argparse parity)
 

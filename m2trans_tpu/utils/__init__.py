@@ -1,0 +1,6 @@
+from m2trans_tpu.utils.experiment import (  # noqa: F401
+    ExperimentLogger,
+    cur_timestamp_str,
+    get_stat_dict,
+    setup_experiment,
+)

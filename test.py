@@ -1,0 +1,47 @@
+"""Evaluation/inference CLI — reference-surface equivalent of the
+reference's test.py (PSNR/SSIM/FSIM/GMSD over the configured benchmark
+dirs from a checkpoint).
+
+Usage: python test.py --config configs/M2Trans_x4_test.yml
+Accepts both reference ``.pt`` checkpoints (converted on the fly) and this
+framework's orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="M2Trans-TPU eval")
+    parser.add_argument("--config", type=str,
+                        default="./configs/M2Trans_x2_test.yml")
+    parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--full_metrics", action="store_true", default=True)
+    parser.add_argument("--save_image", action="store_true")
+    args = parser.parse_args()
+
+    from m2trans_tpu.config import load_config
+
+    cfg = load_config(args.config, overrides={"model_path": args.model_path})
+
+    from m2trans_tpu.data import create_datasets
+    from m2trans_tpu.train.checkpoint import load_params_any
+    from m2trans_tpu.train.evaluate import evaluate_all
+
+    _, eval_sets = create_datasets(cfg, train=False)
+    params = load_params_any(cfg.model_path, cfg)
+
+    results = evaluate_all(params, cfg, eval_sets,
+                           full_metrics=args.full_metrics,
+                           save_root=("test_results" if args.save_image
+                                      else None))
+    for name, m in results.items():
+        print(f"[{name}-X{cfg.scale}] "
+              f"PSNR:{m['psnr']:.2f},SSIM:{m['ssim']:.4f}" +
+              (f"\nFSIM:{m['fsim']:.4f},GMSD:{m['gmsd']:.4f}"
+               if "fsim" in m else ""))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon sitecustomize force-registers the remote-TPU plugin regardless of
+# the env var; this config update is the reliable way to pin tests to CPU
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache makes repeat test runs fast (first run still pays)
 jax.config.update("jax_compilation_cache_dir", "/tmp/m2trans_tpu_jax_cache")

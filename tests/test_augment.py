@@ -1,0 +1,63 @@
+"""On-device cutmix / cutout augmentation semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m2trans_tpu.data.augment import cut_out, cutmix
+
+
+def test_cutmix_preserves_shape_and_values_from_batch(rng):
+    scale = 2
+    lr = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+    hr = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    found_mix = False
+    for seed in range(8):
+        lr2, hr2 = cutmix(jax.random.PRNGKey(seed), lr, hr, scale=scale)
+        assert lr2.shape == lr.shape and hr2.shape == hr.shape
+        lr2n = np.asarray(lr2)
+        # every pixel of the output must come from *some* batch element at
+        # the same spatial position
+        src = np.asarray(lr)
+        ok = np.zeros(lr2n.shape[:1] + lr2n.shape[1:3], bool)
+        for b in range(4):
+            ok |= np.all(lr2n == src[b][None], axis=-1)
+        assert ok.all()
+        if not np.allclose(lr2n, src):
+            found_mix = True
+    assert found_mix, "cutmix never mixed across 8 seeds (p=0.5 per half)"
+
+
+def test_cutmix_lr_hr_boxes_are_scale_consistent(rng):
+    scale = 2
+    # batch where each element is a constant plane -> mixed regions are
+    # detectable exactly
+    lr = jnp.stack([jnp.full((16, 16, 1), float(i)) for i in range(4)])
+    hr = jnp.stack([jnp.full((32, 32, 1), float(i)) for i in range(4)])
+    for seed in range(10):
+        lr2, hr2 = cutmix(jax.random.PRNGKey(seed), lr, hr, scale=scale)
+        lr2n, hr2n = np.asarray(lr2[..., 0]), np.asarray(hr2[..., 0])
+        # upsample the LR id-map by `scale` and compare with the HR id-map
+        up = np.repeat(np.repeat(lr2n, scale, axis=1), scale, axis=2)
+        np.testing.assert_array_equal(up, hr2n)
+
+
+def test_cutout_zeroes_squares(rng):
+    img = jnp.ones((4, 20, 20, 3))
+    zeroed = False
+    for seed in range(8):
+        out = np.asarray(cut_out(jax.random.PRNGKey(seed), img, length=4))
+        assert out.shape == img.shape
+        assert ((out == 0) | (out == 1)).all()
+        if (out == 0).any():
+            zeroed = True
+    assert zeroed
+
+
+def test_augment_is_jittable():
+    fn = jax.jit(lambda k, a, b: cutmix(k, a, b, scale=2))
+    lr, hr = fn(jax.random.PRNGKey(0), jnp.ones((2, 8, 8, 3)),
+                jnp.ones((2, 16, 16, 3)))
+    assert lr.shape == (2, 8, 8, 3)
+    fn2 = jax.jit(lambda k, a: cut_out(k, a, length=2))
+    assert fn2(jax.random.PRNGKey(0), jnp.ones((2, 8, 8, 3))).shape == (2, 8, 8, 3)
