@@ -46,11 +46,16 @@ def _chain_time(step, params, x0, n: int) -> float:
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from m2trans_tpu.config import Config
     from m2trans_tpu.models import init_m2trans, m2trans_apply, policy_from_config
 
-    cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3, dtype="bfloat16")
+    # tunnel warmup: the remote platform's first dispatch can take minutes
+    np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+
+    cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3, dtype="bfloat16",
+                 use_pallas=True)
     policy = policy_from_config(cfg)
     params = init_m2trans(jax.random.PRNGKey(0), cfg)
 

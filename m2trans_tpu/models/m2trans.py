@@ -40,7 +40,7 @@ from m2trans_tpu.ops.conv import conv2d, gelu_exact
 from m2trans_tpu.ops.halo_attention import halo_attention
 from m2trans_tpu.ops.norm import instance_norm
 from m2trans_tpu.ops.pad import pad_to_multiple
-from m2trans_tpu.ops.pixel_shuffle import pixel_shuffle
+from m2trans_tpu.ops.pixel_shuffle import pixel_shuffle_fast, ps_weight_perm
 from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
 
 Params = Dict[str, Any]
@@ -184,15 +184,23 @@ def tblock_apply(p: Params, x: jnp.ndarray, *, block: int = 8, halo: int = 1,
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
-    qkv = conv2d(x, p["qkv_w"], padding="valid", dtype=policy.dtype,
-                 precision=policy.precision)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    if policy.use_pallas:
-        from m2trans_tpu.ops.pallas.halo_attn import halo_attention_pallas
+    # The fused Pallas kernel is the bf16 fast path. In f32 parity mode the
+    # XLA path runs with HIGHEST-precision contractions instead — HIGHEST
+    # inside Mosaic triggers multi-pass matmul expansion that the remote
+    # TPU compiler handles poorly, and parity mode is about exactness, not
+    # speed.
+    if policy.use_pallas and policy.dtype == jnp.bfloat16:
+        from m2trans_tpu.ops.pallas.halo_attn import halo_attention_qkv_fused
 
-        out = halo_attention_pallas(q, k, v, p["rel_h"], p["rel_w"],
-                                    block=block, halo=halo)
+        c = x.shape[-1]
+        w_qkv = p["qkv_w"].reshape(c, 3 * c).astype(policy.dtype)
+        out = halo_attention_qkv_fused(x.astype(policy.dtype), w_qkv,
+                                       p["rel_h"], p["rel_w"],
+                                       block=block, halo=halo)
     else:
+        qkv = conv2d(x, p["qkv_w"], padding="valid", dtype=policy.dtype,
+                     precision=policy.precision)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         out = halo_attention(q, k, v, p["rel_h"], p["rel_w"], block=block,
                              halo=halo, precision=policy.precision)
     if ph or pw:
@@ -227,6 +235,17 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
     return ff + x
 
 
+def _conv_ps_gelu(x, w, b, r, kw):
+    """1x1 conv -> PixelShuffle(r) -> GELU, computed as conv (with output
+    channels permuted into depth-to-space order) -> GELU -> fast shuffle.
+    Bit-identical to the reference order (GELU is elementwise, so it
+    commutes with the shuffle permutation; the weight permutation reorders
+    output channels without touching any contraction)."""
+    perm = ps_weight_perm(w.shape[-1] // (r * r), r)
+    y = conv2d(x, w[..., perm], b[perm], padding="valid", **kw)
+    return pixel_shuffle_fast(gelu_exact(y), r)
+
+
 def tail_apply(p: Params, x: jnp.ndarray, *, scale: int,
                policy: ComputePolicy) -> jnp.ndarray:
     """Pixel-shuffle upsampling tail (reference :40-56). x4 = two x2 stages
@@ -234,13 +253,10 @@ def tail_apply(p: Params, x: jnp.ndarray, *, scale: int,
     x2/x3 = one [1x1 conv -> PixelShuffle(s) -> GELU] stage."""
     kw = dict(dtype=policy.dtype, precision=policy.precision)
     if scale == 4:
-        x = gelu_exact(pixel_shuffle(
-            conv2d(x, p["c0"]["w"], p["c0"]["b"], padding="valid", **kw), 2))
-        x = gelu_exact(pixel_shuffle(
-            conv2d(x, p["c1"]["w"], p["c1"]["b"], padding="valid", **kw), 2))
+        x = _conv_ps_gelu(x, p["c0"]["w"], p["c0"]["b"], 2, kw)
+        x = _conv_ps_gelu(x, p["c1"]["w"], p["c1"]["b"], 2, kw)
         return conv2d(x, p["c2"]["w"], padding="reflect", **kw)
-    x = gelu_exact(pixel_shuffle(
-        conv2d(x, p["c0"]["w"], p["c0"]["b"], padding="valid", **kw), scale))
+    x = _conv_ps_gelu(x, p["c0"]["w"], p["c0"]["b"], scale, kw)
     return conv2d(x, p["c1"]["w"], padding="reflect", **kw)
 
 

@@ -58,11 +58,11 @@ def test_dwt_constant_image_only_ll():
 def test_subband_channel_order_is_ll_hl_lh_hh():
     # a column step (varies along W) must land in HL; a row step in LH
     x = np.zeros((1, 2, 2, 1), np.float32)
-    x[0, :, 1, 0] = 2.0  # columns differ -> HL = (-a-b+c+d)/2 = 2
+    x[0, :, 1, 0] = 2.0  # columns differ -> HL = (-a-b+c+d)/2 = 2; LL = 2
     y = np.asarray(haar_dwt(jnp.asarray(x)))[0, 0, 0]
-    np.testing.assert_allclose(y, [1.0, 2.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(y, [2.0, 2.0, 0.0, 0.0], atol=1e-6)
 
     x = np.zeros((1, 2, 2, 1), np.float32)
     x[0, 1, :, 0] = 2.0  # rows differ -> LH
     y = np.asarray(haar_dwt(jnp.asarray(x)))[0, 0, 0]
-    np.testing.assert_allclose(y, [1.0, 0.0, 2.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(y, [2.0, 0.0, 2.0, 0.0], atol=1e-6)
