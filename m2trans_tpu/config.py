@@ -73,6 +73,7 @@ class Config:
     mesh_space: int = 1  # devices on the `space` (spatial-shard) mesh axis
     captions_path: Optional[str] = None  # text descriptions for SemanticLoss
     medclip_path: Optional[str] = None  # pretrained MedCLIP weights dir
+    medclip_tiny: bool = False  # tiny MedCLIP config (smoke tests only)
     faithful_clip: bool = False  # bit-faithful reference SemanticLoss quirks
     # training image index range (reference hardcodes 1..1000,
     # datas/us1k.py:74-76); [start, end) like Python ranges

@@ -1,0 +1,178 @@
+"""MedCLIP semantic (image-text) regularization loss, batched + jittable.
+
+Reference semantics (losses.py:18-81, SemanticLoss): per SR/HR pair, build
+a patch set = [bicubic-resize-to-224 (align_corners=True)] + (N_patches-1)
+random aligned 224x224 crops; encode each patch pair and the caption with
+MedCLIP; loss += |x_clip . t^T - y_clip . t^T| / N_patches, summed over the
+batch (train.py:202-205 loops samples and accumulates).
+
+The reference implementation has three load-bearing quirks (SURVEY.md §2.2)
+— reproduced only under ``faithful=True``:
+  1. everything under torch.no_grad() -> the CLIP term contributes a value
+     but ZERO gradient (losses.py:63);
+  2. the patch loop overwrites x_clip/y_clip, so only the LAST patch
+     contributes, scaled by 1/N_patches (losses.py:67-79);
+  3. encode_text is called with token_type_ids (all zeros) instead of
+     input_ids (losses.py:64-65) — the text embedding is that of a zero
+     token sequence, constant across captions.
+
+Default (fixed) mode implements the paper's intent: differentiable, all
+patches averaged, real token ids.
+
+TPU-first: the whole loss is one jitted computation over the batch — the
+reference serializes B tokenizer calls + 2*B*N_patches CLIP forwards per
+step on the host (its biggest throughput sin, SURVEY.md §3.1). Tokenization
+happens once on the host per step with static padding (``tokenize``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m2trans_tpu.models.medclip.model import (
+    MedCLIPConfig,
+    encode_image,
+    encode_text,
+)
+from m2trans_tpu.ops.resize import bicubic_resize
+
+
+def _random_aligned_crops(key, x, y, n, size):
+    """(n, B, size, size, C) aligned random crops of x and y."""
+    bsz, h, w, c = x.shape
+    keys = jax.random.split(key, 2)
+    ys = jax.random.randint(keys[0], (n, bsz), 0, h - size)
+    xs = jax.random.randint(keys[1], (n, bsz), 0, w - size)
+
+    def crop_one(img, oy, ox):
+        return jax.lax.dynamic_slice(img, (oy, ox, 0), (size, size, c))
+
+    def crop_batch(oys, oxs):
+        return (jax.vmap(crop_one)(x, oys, oxs),
+                jax.vmap(crop_one)(y, oys, oxs))
+
+    return jax.vmap(crop_batch)(ys, xs)
+
+
+def semantic_loss(
+    medclip_params,
+    mcfg: MedCLIPConfig,
+    sr: jnp.ndarray,
+    hr: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    key,
+    *,
+    n_patches: int = 3,
+    clip_size: int = 224,
+    faithful: bool = False,
+    token_type_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Batched CLIP loss; returns the SUM over the batch (matching the
+    reference's per-sample accumulation)."""
+    bsz = sr.shape[0]
+    resized = (bicubic_resize(sr, (clip_size, clip_size)),
+               bicubic_resize(hr, (clip_size, clip_size)))
+    patches_x = [resized[0]]
+    patches_y = [resized[1]]
+    if min(sr.shape[1], sr.shape[2]) <= clip_size:
+        # image too small for random crops (the reference would crash on
+        # torch.randint(dim - 224) here); fall back to the resized patch only
+        n_patches = 1
+    if n_patches > 1:
+        cx, cy = _random_aligned_crops(key, sr, hr, n_patches - 1, clip_size)
+        patches_x += [cx[i] for i in range(n_patches - 1)]
+        patches_y += [cy[i] for i in range(n_patches - 1)]
+
+    if faithful:
+        # quirk 3: the "text" is the zero token sequence
+        ids = (token_type_ids if token_type_ids is not None
+               else jnp.zeros_like(input_ids))
+        t = encode_text(medclip_params, ids, attention_mask, mcfg)
+    else:
+        t = encode_text(medclip_params, input_ids, attention_mask, mcfg)
+
+    # one batched vision forward over all patches of both images
+    stack = jnp.concatenate(patches_x + patches_y, axis=0)
+    emb = encode_image(medclip_params, stack, mcfg)  # already normalized
+    emb = emb.reshape(2 * n_patches, bsz, -1)
+    ex, ey = emb[:n_patches], emb[n_patches:]
+
+    sim_x = jnp.einsum("pbd,bd->pb", ex, t)
+    sim_y = jnp.einsum("pbd,bd->pb", ey, t)
+    per_patch = jnp.abs(sim_x - sim_y)  # (P, B)
+
+    if faithful:
+        # quirk 2: only the last patch contributes, scaled 1/N
+        loss = jnp.sum(per_patch[-1]) / n_patches
+        # quirk 1: value only, no gradient
+        return jax.lax.stop_gradient(loss)
+    return jnp.sum(per_patch) / n_patches
+
+
+class SemanticLossFn:
+    """Callable bundle the Trainer uses: host-side ``tokenize`` + the
+    jit-traceable loss."""
+
+    def __init__(self, medclip_params, mcfg: MedCLIPConfig, tokenizer,
+                 *, n_patches: int = 3, clip_size: int = 224,
+                 faithful: bool = False, max_length: int = 64):
+        self.params = medclip_params
+        self.mcfg = mcfg
+        self.tokenizer = tokenizer
+        self.n_patches = n_patches
+        self.clip_size = clip_size
+        self.faithful = faithful
+        self.max_length = max_length
+
+    def tokenize(self, captions: List[str]) -> Dict[str, np.ndarray]:
+        out = self.tokenizer(
+            captions, return_tensors="np", padding="max_length",
+            truncation=True, max_length=self.max_length)
+        toks = {"input_ids": out["input_ids"].astype(np.int32),
+                "attention_mask": out["attention_mask"].astype(np.int32)}
+        if "token_type_ids" in out:
+            toks["token_type_ids"] = out["token_type_ids"].astype(np.int32)
+        return toks
+
+    def __call__(self, sr, hr, captions: Dict[str, Any], key=None):
+        if captions is None:
+            return jnp.float32(0.0)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return semantic_loss(
+            self.params, self.mcfg, sr, hr,
+            jnp.asarray(captions["input_ids"]),
+            jnp.asarray(captions["attention_mask"]),
+            key,
+            n_patches=self.n_patches,
+            clip_size=self.clip_size,
+            faithful=self.faithful,
+            token_type_ids=(jnp.asarray(captions["token_type_ids"])
+                            if "token_type_ids" in captions else None),
+        )
+
+
+def make_semantic_loss(cfg) -> SemanticLossFn:
+    """Build the loss from a Config: loads MedCLIP weights + tokenizer from
+    ``cfg.medclip_path`` (a directory with pytorch_model.bin + tokenizer
+    files, i.e. the released MedCLIP zip contents)."""
+    import os
+
+    from transformers import AutoTokenizer
+
+    from m2trans_tpu.models.medclip.model import load_medclip_torch
+
+    tiny = getattr(cfg, "medclip_tiny", False)
+    mcfg = MedCLIPConfig.tiny() if tiny else MedCLIPConfig()
+    weight_file = os.path.join(cfg.medclip_path, "pytorch_model.bin")
+    params = load_medclip_torch(weight_file, mcfg)
+    tokenizer = AutoTokenizer.from_pretrained(cfg.medclip_path)
+    return SemanticLossFn(params, mcfg, tokenizer, n_patches=3,
+                          clip_size=(56 if tiny else 224),
+                          faithful=cfg.faithful_clip)

@@ -75,7 +75,7 @@ def make_train_step(
     @partial(jax.jit, static_argnames=("do_cutout",), donate_argnums=(0, 1))
     def train_step(params, opt_state, lr_img, hr_img, key, captions,
                    do_cutout=False):
-        k_mix, k_cut = jax.random.split(key)
+        k_mix, k_cut, k_clip = jax.random.split(key, 3)
         if cfg.cutmix:
             lr_img, hr_img = cutmix(k_mix, lr_img, hr_img, scale=cfg.scale)
         if do_cutout:
@@ -86,7 +86,8 @@ def make_train_step(
             l1 = l1_loss(sr, hr_img) * cfg.lambda_l1
             clip = jnp.float32(0.0)
             if semantic_loss_fn is not None and cfg.lambda_clip > 0:
-                clip = semantic_loss_fn(sr, hr_img, captions) * cfg.lambda_clip
+                clip = semantic_loss_fn(sr, hr_img, captions,
+                                        k_clip) * cfg.lambda_clip
             return l1 + clip, {"l1": l1, "clip": clip}
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
