@@ -1,0 +1,66 @@
+"""Spatial sharding: sharded full-frame forward must match the single-device
+forward exactly (up to float associativity) on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from m2trans_tpu.config import Config
+from m2trans_tpu.models import init_m2trans, m2trans_apply
+from m2trans_tpu.parallel.spatial import spatial_sharded_forward
+
+
+def make_mesh(n, axis="space"):
+    devs = np.array(jax.devices()[:n])
+    return Mesh(devs, (axis,))
+
+
+@pytest.mark.parametrize("n_space,scale", [(2, 2), (4, 2), (8, 4), (4, 3)])
+def test_sharded_matches_single_device(n_space, scale, rng):
+    cfg = Config(scale=scale, n_feats=8, n_blocks=2)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    h = 32 * n_space  # padded height splits evenly
+    x = jnp.asarray(rng.uniform(0, 1, (1, h, 64, 3)).astype(np.float32))
+
+    want = np.asarray(m2trans_apply(params, x, cfg))
+    mesh = make_mesh(n_space)
+    got = np.asarray(spatial_sharded_forward(params, x, cfg, mesh=mesh))
+    assert got.shape == want.shape == (1, h * scale, 64 * scale, 3)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sharded_with_crop_and_batch(rng):
+    # non-multiple W (forces the reflect pad + crop path) and batch > 1
+    cfg = Config(scale=2, n_feats=8, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(1), cfg)
+    n = 4
+    h = 32 * n
+    x = jnp.asarray(rng.uniform(0, 1, (2, h, 45, 3)).astype(np.float32))
+    want = np.asarray(m2trans_apply(params, x, cfg))
+    got = np.asarray(spatial_sharded_forward(params, x, cfg,
+                                             mesh=make_mesh(n)))
+    assert got.shape == want.shape == (2, 2 * h, 90, 3)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_uneven_height_raises(rng):
+    cfg = Config(scale=2, n_feats=8, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 96, 64, 3))  # pad32(96)=96, not divisible by 32*4=128
+    with pytest.raises(ValueError, match="shards"):
+        spatial_sharded_forward(params, x, cfg, mesh=make_mesh(4))
+
+
+def test_data_space_2d_mesh(rng):
+    # 2-D (data, space) mesh: batch over 'data', frame rows over 'space'
+    cfg = Config(scale=2, n_feats=8, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(2), cfg)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "space"))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 128, 32, 3)).astype(np.float32))
+    want = np.asarray(m2trans_apply(params, x, cfg))
+    got = np.asarray(spatial_sharded_forward(params, x, cfg, mesh=mesh,
+                                             batch_axis="data"))
+    np.testing.assert_allclose(got, want, atol=2e-4)
