@@ -74,6 +74,8 @@ class Config:
     captions_path: Optional[str] = None  # text descriptions for SemanticLoss
     medclip_path: Optional[str] = None  # pretrained MedCLIP weights dir
     medclip_tiny: bool = False  # tiny MedCLIP config (smoke tests only)
+    native_loader: bool = True  # C++ runtime data loader (falls back to
+    # the Python thread pool when the cache dtype is unsupported)
     faithful_clip: bool = False  # bit-faithful reference SemanticLoss quirks
     # training image index range (reference hardcodes 1..1000,
     # datas/us1k.py:74-76); [start, end) like Python ranges

@@ -124,8 +124,26 @@ def create_datasets(
             start_idx=int(cfg.train_range[0]),
             end_idx=int(cfg.train_range[1]),
         )
-        train_loader = TrainLoader(ds, cfg.batch_size,
-                                   num_workers=cfg.threads, seed=cfg.seed)
+        train_loader = None
+        if getattr(cfg, "native_loader", False) and cfg.colors == 3 \
+                and bool(cfg.data_augment):
+            try:
+                from m2trans_tpu.runtime import NativeTrainLoader
+
+                train_loader = NativeTrainLoader(
+                    ds.hr_npy, ds.lr_npy, patch_size=cfg.patch_size,
+                    scale=cfg.scale, batch_size=cfg.batch_size,
+                    repeat=cfg.data_repeat, num_workers=cfg.threads,
+                    seed=cfg.seed)
+                train_loader.dataset = ds  # len(dataset) parity for logging
+            except Exception as e:  # missing toolchain / unsupported cache
+                print(f"## native loader unavailable ({e}); "
+                      "using the Python loader ##")
+                train_loader = None
+        if train_loader is None:
+            train_loader = TrainLoader(ds, cfg.batch_size,
+                                       num_workers=cfg.threads,
+                                       seed=cfg.seed)
 
     eval_sets = []
     for name in cfg.eval_sets or []:
