@@ -76,6 +76,7 @@ class Config:
     medclip_tiny: bool = False  # tiny MedCLIP config (smoke tests only)
     native_loader: bool = True  # C++ runtime data loader (falls back to
     # the Python thread pool when the cache dtype is unsupported)
+    profile_dir: Optional[str] = None  # jax.profiler trace of a few steps
     faithful_clip: bool = False  # bit-faithful reference SemanticLoss quirks
     # training image index range (reference hardcodes 1..1000,
     # datas/us1k.py:74-76); [start, end) like Python ranges

@@ -48,6 +48,19 @@ from m2trans_tpu.utils.experiment import (
 )
 
 
+def _comparison_panel(lr_np: np.ndarray, sr_np: np.ndarray,
+                      hr_np: np.ndarray, rgb_range: float) -> np.ndarray:
+    """HWC uint8 [bilinear-upscaled LR | SR | HR] strip (the reference's
+    TensorBoard image dump, train.py:218-233)."""
+    from m2trans_tpu.ops.resize import bilinear_resize
+
+    h, w = hr_np.shape[0], hr_np.shape[1]
+    lr_up = np.asarray(bilinear_resize(
+        jnp.asarray(lr_np)[None], (h, w))[0])
+    panel = np.concatenate([lr_up, sr_np, hr_np], axis=1)
+    return np.clip(panel / rgb_range * 255.0, 0, 255).astype(np.uint8)
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     """Adam + per-epoch cosine annealing (reference train.py:81-82,358),
     with the dead MeanShift params frozen."""
@@ -114,6 +127,9 @@ class Trainer:
 
         self.tx = make_optimizer(cfg, self.steps_per_epoch)
         self.train_step = make_train_step(cfg, self.tx, semantic_loss_fn)
+        policy = policy_from_config(cfg)
+        self._panel_fwd = jax.jit(
+            lambda p, x: m2trans_apply(p, x, cfg, policy=policy))
 
         key = jax.random.PRNGKey(cfg.seed)
         self.rng_key, init_key = jax.random.split(key)
@@ -200,6 +216,22 @@ class Trainer:
                 epoch_loss += float(aux["loss"])
                 l1_acc += float(aux["l1"])
                 clip_acc += float(aux["clip"])
+
+                # profiler trace of a few steady-state steps
+                if cfg.profile_dir and epoch == self.start_epoch:
+                    if it == 5:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                    elif it == 10:
+                        jax.profiler.stop_trace()
+
+                # TensorBoard comparison panels (reference train.py:218-233)
+                if self.writer is not None and it % 200 == 0:
+                    sr1 = np.asarray(self._panel_fwd(
+                        self.params, lr_img[:1]))[0]
+                    panel = _comparison_panel(lr_np[0], sr1, hr_np[0],
+                                              cfg.rgb_range)
+                    self.writer.add_image("Train/lr_sr_hr_image", panel,
+                                          it, dataformats="HWC")
 
                 if (it + 1) % cfg.log_every == 0:
                     avg = epoch_loss / (it + 1)
