@@ -212,22 +212,43 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
                block: int = 8, halo: int = 1) -> jnp.ndarray:
     """Coarse-to-Fine Transformer Module (reference CFTM.forward :132-164,
     norm=True path)."""
-    def attn(name, z):
-        return tblock_apply(p[name], z, block=block, halo=halo, policy=policy)
+    # bf16 fast path: one Pallas kernel per branch fusing
+    # DWT^L -> qkv -> halo attention -> IWT^L (no coarse-tensor HBM trips)
+    use_fused = policy.use_pallas and policy.dtype == jnp.bfloat16
+
+    def branch(name, z, levels):
+        if use_fused:
+            from m2trans_tpu.ops.pallas.halo_attn import (
+                halo_attention_qkv_fused,
+            )
+
+            c = z.shape[-1] * 4 ** levels
+            w_qkv = p[name]["qkv_w"].reshape(c, 3 * c).astype(policy.dtype)
+            return halo_attention_qkv_fused(
+                z.astype(policy.dtype), w_qkv, p[name]["rel_h"],
+                p[name]["rel_w"], block=block, halo=halo, levels=levels)
+        out = z
+        for _ in range(levels):
+            out = haar_dwt(out)
+        out = tblock_apply(p[name], out, block=block, halo=halo,
+                           policy=policy)
+        for _ in range(levels):
+            out = haar_iwt(out)
+        return out
 
     xn = instance_norm(x)
     x1, x2, x3, x4 = jnp.split(xn, 4, axis=-1)
 
-    x1 = attn("attn1", x1) + x1
+    x1 = branch("attn1", x1, 0) + x1
 
     x2 = (x2 + x1) * 0.5
-    x2 = haar_iwt(attn("attn2", haar_dwt(x2))) + x2
+    x2 = branch("attn2", x2, 1) + x2
 
     x3 = (x3 + x2) * 0.5
-    x3 = haar_iwt(haar_iwt(attn("attn3", haar_dwt(haar_dwt(x3))))) + x3
+    x3 = branch("attn3", x3, 2) + x3
 
     x4 = (x4 + x3) * 0.5
-    x4 = haar_iwt(haar_iwt(attn("attn4", haar_dwt(haar_dwt(x4))))) + x4
+    x4 = branch("attn4", x4, 2) + x4
 
     xc = jnp.concatenate([x1, x2, x3, x4], axis=-1)
     ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",

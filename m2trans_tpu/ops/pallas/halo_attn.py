@@ -1,34 +1,35 @@
-"""Fused halo window attention — Pallas TPU kernel.
+"""Fused wavelet-branch halo attention — Pallas TPU kernel.
 
-Computes, in one kernel, what the reference TBlock does with five
-materialized HBM round-trips (qkv conv -> F.unfold k -> F.unfold v ->
-rel-pos add -> einsum/softmax/einsum, reference models/M2Trans_network.py:
-290-340) and what our XLA path does with patch-extraction convs
-(m2trans_tpu/ops/halo_attention.py):
+Computes one full CFTM branch in a single kernel:
 
-    out = softmax( (x W_q) (x W_k + rel)^T / sqrt(C) ) (x W_v)
+    out = IWT^L( softmax( (z W_q)(z W_k + rel)^T / sqrt(C) ) (z W_v) ),
+    z = DWT^L(x)
 
-per non-overlapping 8x8 query block against its zero-padded 10x10
-neighborhood, single head.
+for L in {0, 1, 2} Haar levels (the reference's branch pyramid,
+models/M2Trans_network.py:139-161), with the attention semantics of TBlock
+(:290-340): non-overlapping 8x8 query blocks against their zero-padded
+10x10 neighborhoods, single head, decomposed rel-pos added to keys.
 
-Why a kernel: the XLA path is HBM-bound — unfold duplicates k/v by
-win^2/block^2 = 1.56x each, the f32 attention logits (64x100 per block) and
-the qkv tensor (3C) all round-trip through HBM. Here each grid step DMAs
-one (block + 2*halo)-row band of the (pre-zero-padded) input into VMEM,
-computes the qkv projection (MXU), per-block attention (MXU + VPU softmax),
-and writes only the 8-row output band: HBM traffic = read x once + write
-out once.
+Why a kernel: the XLA path materializes, per branch, the DWT output, the
+3C qkv tensor, the win^2/block^2-duplicated unfold patches, the f32
+attention logits, and the IWT input — all HBM round-trips. Here each grid
+step loads one full-resolution row band into VMEM, runs DWT (strided
+reshape adds, VPU), the qkv projections (MXU), per-block attention
+(MXU + VPU softmax), IWT, and writes only the full-res output band:
+HBM traffic = read x once + write out once.
 
-Grid: (B, H/block). Bands overlap by 2*halo rows, which a single blocked
-BlockSpec cannot express; instead the (zero-padded, H extended to a multiple
-of block) input is passed through TWO blocked views — band i = all of row
-block i plus the first 2*halo rows of row block i+1 — which the Pallas
-pipeline prefetches like any other blocked input (no manual DMA, and Mosaic
-keeps the lane-padded C<128 layouts legal).
+Grid: (B, H_coarse/8). Bands overlap by 2*halo coarse rows = 2*halo*2^L
+full-res rows; a single blocked BlockSpec cannot express overlap, so the
+(zero-padded, extended) input is passed through TWO blocked views — band
+i = all of full-res row block i (8*2^L rows) plus the first 2*halo*2^L
+rows of block i+1 — which the Pallas pipeline prefetches like any other
+blocked input.
 
 Backward: jax.custom_vjp whose bwd re-runs the XLA composition (correct;
-training time is conv-dominated anyway). Numerical parity with the XLA path
-is tested in interpret mode on CPU and compiled on TPU.
+training time is conv-dominated). Numerical parity with the XLA path is
+tested in interpret mode on CPU and compiled on real TPU. bf16 is the
+intended dtype (HIGHEST-precision multi-pass matmuls stall the remote
+Mosaic compiler; f32 parity eval uses the XLA path).
 """
 
 from __future__ import annotations
@@ -41,53 +42,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from m2trans_tpu.ops.halo_attention import halo_attention
+from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
 
 
 def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
-            out_ref, *, block: int, halo: int, w_img: int, precision):
-    """One (batch, row-band) grid step.
+            out_ref, *scratch, block: int, halo: int, wc: int, levels: int,
+            precision):
+    """One (batch, coarse-row-band) grid step.
 
-    xa_ref:   (1, block, Wp, C) padded-input row block i in VMEM
-    xb_ref:   (1, block, Wp, C) padded-input row block i+1 in VMEM
-    w*_ref:   (C, C) projection weights in VMEM
-    rel*_ref: (win, C/2) positional embeddings in VMEM
-    out_ref:  (1, block, W, C) output band in VMEM
+    xa_ref/xb_ref: (1, block*2^L, Wp_full, Cb) full-res row blocks i, i+1
+    w*_ref:        (C, C) coarse-channel projection weights (C = Cb*4^L)
+    rel*_ref:      (win, C/2)
+    out_ref:       (1, block*2^L, W_full, Cb) full-res output band
+    scratch:       f32 VMEM buffers for the wavelet levels — Mosaic only
+                   supports strided ref loads/stores on 32-bit data, so
+                   each DWT level strided-reads quads from an f32 scratch,
+                   and each IWT level strided-writes into one
+    wc:            coarse width (W_full / 2^L)
     """
+    s = 2 ** levels
     win = block + 2 * halo
-    wp = w_img + 2 * halo
-    c = xa_ref.shape[-1]
-    nw = w_img // block
+    wp = wc + 2 * halo  # coarse padded width
+    nw = wc // block
+    dwt_bufs = scratch[:levels + 1] if levels else []
+    iwt_bufs = scratch[levels + 1:] if levels else []
+
+    # assemble the overlapping full-res band
+    z = jnp.concatenate([xa_ref[0], xb_ref[0, : 2 * halo * s]], axis=0)
+
+    if levels:
+        dwt_bufs[0][:] = z.astype(jnp.float32)
+        for l in range(levels):
+            src, dst = dwt_bufs[l], dwt_bufs[l + 1]
+            a = src[0::2, 0::2, :]
+            b = src[1::2, 0::2, :]
+            cc = src[0::2, 1::2, :]
+            d = src[1::2, 1::2, :]
+            dst[:] = jnp.concatenate(
+                [(a + b + cc + d), (-a - b + cc + d), (-a + b - cc + d),
+                 (a - b - cc + d)], axis=-1) * 0.5
+        z = dwt_bufs[levels][:].astype(z.dtype)
+
+    c = z.shape[-1]  # coarse channels
     c2 = c // 2
+    zf = z.reshape(win * wp, c)
 
-    # assemble the overlapping (win, Wp, C) band from the two blocked views
-    x = jnp.concatenate([xa_ref[0], xb_ref[0, : 2 * halo]], axis=0)
-    xf = x.reshape(win * wp, c)
-
-    # qkv projections on the MXU, f32 accumulation
-    k_full = jnp.dot(xf, wk_ref[:], preferred_element_type=jnp.float32,
+    k_full = jnp.dot(zf, wk_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision).reshape(win, wp, c)
+    v_full = jnp.dot(zf, wv_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision).reshape(win, wp, c)
+    zq = z[halo:halo + block, halo:halo + wc, :].reshape(block * wc, c)
+    q_full = jnp.dot(zq, wq_ref[:], preferred_element_type=jnp.float32,
                      precision=precision)
-    v_full = jnp.dot(xf, wv_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision)
-    k_full = k_full.reshape(win, wp, c)
-    v_full = v_full.reshape(win, wp, c)
+    q_full = q_full.reshape(block, wc, c) * (c ** -0.5)
 
-    xq = x[halo:halo + block, halo:halo + w_img, :].reshape(
-        block * w_img, c)
-    q_full = jnp.dot(xq, wq_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision)
-    q_full = q_full.reshape(block, w_img, c) * (c ** -0.5)
-
-    # rel_h varies over the band's rows -> add once band-wide (first C/2
-    # channels); rel_w varies per within-window column -> added per block.
     relh = relh_ref[:].astype(jnp.float32)
     relw = relw_ref[:].astype(jnp.float32)
     k_full = jnp.concatenate(
         [k_full[:, :, :c2] + relh[:, None, :], k_full[:, :, c2:]], axis=-1)
 
+    outs = []
     for j in range(nw):  # static unroll over width blocks
         q = q_full[:, j * block:(j + 1) * block, :].reshape(
             block * block, c)
-        k = k_full[:, j * block:j * block + win, :]  # (win, win, C)
+        k = k_full[:, j * block:j * block + win, :]
         k = jnp.concatenate(
             [k[:, :, :c2], k[:, :, c2:] + relw[None, :, :]], axis=-1)
         k = k.reshape(win * win, c)
@@ -95,47 +113,77 @@ def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
 
         sim = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)  # (block^2, win^2)
+            preferred_element_type=jnp.float32, precision=precision)
         sim = sim - jnp.max(sim, axis=-1, keepdims=True)
         e = jnp.exp(sim)
         attn = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jnp.dot(attn, v, preferred_element_type=jnp.float32,
                     precision=precision)
-        out_ref[0, :, j * block:(j + 1) * block, :] = o.reshape(
-            block, block, c).astype(out_ref.dtype)
+        outs.append(o.reshape(block, block, c))
+
+    out = jnp.concatenate(outs, axis=1)  # (block, wc, C) coarse band
+    if levels == 0:
+        out_ref[0] = out.astype(out_ref.dtype)
+        return
+    # synthesis: per level, split subbands and strided-write the pixel quad
+    # into the next (f32) buffer
+    for l in range(levels):
+        dst = iwt_bufs[l]
+        ll, hl, lh, hh = jnp.split(out, 4, axis=-1)
+        dst[0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
+        dst[0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
+        dst[1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
+        dst[1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
+        out = dst[:]
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
-                                    interpret, precision=None):
-    bsz, h, w, c = x.shape
+                                    levels, interpret, precision=None):
+    bsz, h, w, cb = x.shape
+    s = 2 ** levels
+    c = cb * (4 ** levels)
     win = block + 2 * halo
-    wp = w + 2 * halo
+    wc = w // s
     wq, wk, wv = (w_qkv[:, :c], w_qkv[:, c:2 * c], w_qkv[:, 2 * c:])
 
-    nh = h // block
-    nw = w // block
-    # zero-pad: halo on the left/right of W; halo on top of H, and enough at
-    # the bottom to make padded H a whole number of (nh + 1) row blocks so
-    # the i+1 view is always in range
-    pad_bottom = (nh + 1) * block - h - halo
-    xp = jnp.pad(x, ((0, 0), (halo, pad_bottom), (halo, halo), (0, 0)))
+    nh = h // (block * s)
+    nw = wc // block
+    # zero-pad at full resolution: halo*2^L on the left/right of W; the
+    # same on top of H, and enough at the bottom to make padded H a whole
+    # number of (nh + 1) full-res row blocks so the i+1 view is in range
+    blk_full = block * s
+    pad_bottom = (nh + 1) * blk_full - h - halo * s
+    xp = jnp.pad(x, ((0, 0), (halo * s, pad_bottom),
+                     (halo * s, halo * s), (0, 0)))
+    wp_full = w + 2 * halo * s
 
-    kernel = functools.partial(_kernel, block=block, halo=halo, w_img=w,
-                               precision=precision)
+    kernel = functools.partial(_kernel, block=block, halo=halo, wc=wc,
+                               levels=levels, precision=precision)
+
+    scratch_shapes = []
+    if levels:
+        rows0 = win * s
+        for l in range(levels + 1):  # analysis buffers (level 0 = input)
+            scratch_shapes.append(pltpu.VMEM(
+                (rows0 >> l, wp_full >> l, cb * 4 ** l), jnp.float32))
+        for l in range(levels):  # synthesis buffers
+            scratch_shapes.append(pltpu.VMEM(
+                (block << (l + 1), wc << (l + 1), c // 4 ** (l + 1)),
+                jnp.float32))
     flops_per_band = (
-        2 * win * wp * c * 2 * c  # k, v projections
-        + 2 * block * w * c * c  # q projection
+        2 * win * (wc + 2 * halo) * c * 2 * c
+        + 2 * block * wc * c * c
         + nw * (2 * block * block * win * win * c * 2))
     band_spec = lambda off: pl.BlockSpec(  # noqa: E731
-        (1, block, wp, c), lambda b, i, o=off: (b, i + o, 0, 0),
+        (1, blk_full, wp_full, cb), lambda b, i, o=off: (b, i + o, 0, 0),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(bsz, nh),
         in_specs=[
-            band_spec(0),  # row block i
-            band_spec(1),  # row block i+1 (first 2*halo rows used)
+            band_spec(0),
+            band_spec(1),
             pl.BlockSpec((c, c), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda b, i: (0, 0),
@@ -147,9 +195,11 @@ def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
             pl.BlockSpec((win, c // 2), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block, w, c), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, blk_full, w, cb),
+                               lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cb), x.dtype),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_band * bsz * nh),
             bytes_accessed=int(2 * x.size * x.dtype.itemsize),
@@ -159,39 +209,46 @@ def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
     return out
 
 
-def _xla_reference(x, w_qkv, rel_h, rel_w, *, block, halo, precision=None):
+def _xla_reference(x, w_qkv, rel_h, rel_w, *, block, halo, levels,
+                   precision=None):
     """The equivalent XLA composition (used for the backward pass)."""
+    for _ in range(levels):
+        x = haar_dwt(x)
     qkv = jnp.einsum("bhwc,cd->bhwd", x, w_qkv,
                      preferred_element_type=jnp.float32,
                      precision=precision).astype(x.dtype)
     c = x.shape[-1]
     q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
-    return halo_attention(q, k, v, rel_h, rel_w, block=block, halo=halo,
-                          precision=precision)
+    out = halo_attention(q, k, v, rel_h, rel_w, block=block, halo=halo,
+                         precision=precision)
+    for _ in range(levels):
+        out = haar_iwt(out)
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _halo_attention_fused(x, w_qkv, rel_h, rel_w, block, halo, interpret,
-                          precision):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _halo_attention_fused(x, w_qkv, rel_h, rel_w, block, halo, levels,
+                          interpret, precision):
     return _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w,
                                            block=block, halo=halo,
+                                           levels=levels,
                                            interpret=interpret,
                                            precision=precision)
 
 
-def _fwd(x, w_qkv, rel_h, rel_w, block, halo, interpret, precision):
+def _fwd(x, w_qkv, rel_h, rel_w, block, halo, levels, interpret, precision):
     out = _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w,
                                           block=block, halo=halo,
-                                          interpret=interpret,
+                                          levels=levels, interpret=interpret,
                                           precision=precision)
     return out, (x, w_qkv, rel_h, rel_w)
 
 
-def _bwd(block, halo, interpret, precision, res, g):
+def _bwd(block, halo, levels, interpret, precision, res, g):
     x, w_qkv, rel_h, rel_w = res
     _, vjp = jax.vjp(
         lambda xx, ww, rh, rw: _xla_reference(xx, ww, rh, rw, block=block,
-                                              halo=halo,
+                                              halo=halo, levels=levels,
                                               precision=precision),
         x, w_qkv, rel_h, rel_w)
     return vjp(g)
@@ -209,14 +266,16 @@ def _is_tpu_backend() -> bool:
 
 
 def halo_attention_qkv_fused(x, w_qkv, rel_h, rel_w, *, block: int = 8,
-                             halo: int = 1, interpret=None, precision=None):
-    """Fused qkv-projection + halo attention.
+                             halo: int = 1, levels: int = 0, interpret=None,
+                             precision=None):
+    """Fused DWT^levels -> qkv projection -> halo attention -> IWT^levels.
 
-    x: (B, H, W, C) with H, W divisible by block; w_qkv: (C, 3C) (the 1x1
-    conv weight reshaped, q|k|v column order); rel_h/rel_w:
-    (block + 2*halo, C/2).
+    x: (B, H, W, Cb) full-resolution branch input with H, W divisible by
+    block * 2^levels; w_qkv: (C, 3C) with C = Cb * 4^levels (the 1x1 conv
+    weight reshaped, q|k|v column order); rel_h/rel_w:
+    (block + 2*halo, C/2). Returns (B, H, W, Cb).
     """
     if interpret is None:
         interpret = not _is_tpu_backend()
     return _halo_attention_fused(x, w_qkv, rel_h, rel_w, block, halo,
-                                 bool(interpret), precision)
+                                 levels, bool(interpret), precision)

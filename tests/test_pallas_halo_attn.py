@@ -75,3 +75,50 @@ def test_model_with_pallas_matches_xla_path(rng):
     y_pal = np.asarray(m2trans_apply(params, x, cfg, policy=pol_pal))
     assert y_pal.shape == y_xla.shape
     assert np.abs(y_pal - y_xla).mean() < 1e-2
+
+
+@pytest.mark.parametrize("levels,cb,h,w", [(1, 8, 16, 16), (2, 4, 32, 64)])
+def test_wavelet_fused_branch_matches_xla(levels, cb, h, w, rng):
+    from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
+
+    c = cb * 4 ** levels
+    x = jnp.asarray(rng.standard_normal((2, h, w, cb)).astype(np.float32))
+    w_qkv = jnp.asarray(
+        rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    rel_h = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
+    rel_w = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
+
+    got = halo_attention_qkv_fused(x, w_qkv, rel_h, rel_w, levels=levels,
+                                   interpret=True)
+    z = x
+    for _ in range(levels):
+        z = haar_dwt(z)
+    want = xla_ref(z, w_qkv, rel_h, rel_w)
+    for _ in range(levels):
+        want = haar_iwt(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_wavelet_fused_branch_grad(rng):
+    from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
+
+    levels, cb, h, w = 1, 4, 16, 16
+    c = cb * 4 ** levels
+    x = jnp.asarray(rng.standard_normal((1, h, w, cb)).astype(np.float32))
+    w_qkv = jnp.asarray(
+        rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    rel_h = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
+    rel_w = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
+
+    def loss_fused(x, wq):
+        return jnp.sum(halo_attention_qkv_fused(
+            x, wq, rel_h, rel_w, levels=levels, interpret=True) ** 2)
+
+    def loss_xla(x, wq):
+        z = haar_dwt(x)
+        return jnp.sum(haar_iwt(xla_ref(z, wq, rel_h, rel_w)) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(x, w_qkv)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(x, w_qkv)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
