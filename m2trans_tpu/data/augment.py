@@ -114,6 +114,16 @@ def _cutout_half(key, img, length: int):
     return jnp.where(apply, out, img)
 
 
+def gaussian_noise(key, img: jnp.ndarray, *, std_range=(-0.01, 0.01)
+                   ) -> jnp.ndarray:
+    """Additive gaussian noise with a per-batch random std (the reference's
+    data_add_noise path, utils.py:187-189 + commented-out application in
+    datas/us1k.py:156-160 — gated off by default there and here)."""
+    k1, k2 = jax.random.split(key)
+    std = jax.random.uniform(k1, (), minval=std_range[0], maxval=std_range[1])
+    return img + std * jax.random.normal(k2, img.shape, img.dtype)
+
+
 def cut_out(key, img: jnp.ndarray, *, length: int):
     """Zero random squares in an NHWC batch (per half-batch p=0.5)."""
     b = img.shape[0]

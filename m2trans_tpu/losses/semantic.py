@@ -76,6 +76,9 @@ def semantic_loss(
     """Batched CLIP loss; returns the SUM over the batch (matching the
     reference's per-sample accumulation)."""
     bsz = sr.shape[0]
+    if sr.shape[-1] != 3:  # gray -> 3ch repeat (reference losses.py:47-49)
+        sr = jnp.repeat(sr, 3, axis=-1)
+        hr = jnp.repeat(hr, 3, axis=-1)
     resized = (bicubic_resize(sr, (clip_size, clip_size)),
                bicubic_resize(hr, (clip_size, clip_size)))
     patches_x = [resized[0]]

@@ -88,11 +88,17 @@ def make_train_step(
     @partial(jax.jit, static_argnames=("do_cutout",), donate_argnums=(0, 1))
     def train_step(params, opt_state, lr_img, hr_img, key, captions,
                    do_cutout=False):
-        k_mix, k_cut, k_clip = jax.random.split(key, 3)
+        k_mix, k_cut, k_clip, k_noise = jax.random.split(key, 4)
         if cfg.cutmix:
             lr_img, hr_img = cutmix(k_mix, lr_img, hr_img, scale=cfg.scale)
         if do_cutout:
             lr_img = cut_out(k_cut, lr_img, length=cutout_len)
+        if cfg.data_add_noise:
+            from m2trans_tpu.data.augment import gaussian_noise
+
+            ka, kb = jax.random.split(k_noise)
+            lr_img = jnp.where(jax.random.uniform(ka) < 0.5,
+                               gaussian_noise(kb, lr_img), lr_img)
 
         def loss_fn(p):
             sr = m2trans_apply(p, lr_img, cfg, policy=policy)

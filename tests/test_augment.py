@@ -61,3 +61,13 @@ def test_augment_is_jittable():
     assert lr.shape == (2, 8, 8, 3)
     fn2 = jax.jit(lambda k, a: cut_out(k, a, length=2))
     assert fn2(jax.random.PRNGKey(0), jnp.ones((2, 8, 8, 3))).shape == (2, 8, 8, 3)
+
+
+def test_gaussian_noise():
+    from m2trans_tpu.data.augment import gaussian_noise
+
+    img = jnp.ones((2, 8, 8, 3)) * 0.5
+    out = gaussian_noise(jax.random.PRNGKey(0), img)
+    assert out.shape == img.shape
+    assert not np.allclose(np.asarray(out), 0.5)
+    assert np.abs(np.asarray(out) - 0.5).max() < 0.2  # std <= 0.01

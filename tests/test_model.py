@@ -89,3 +89,33 @@ def test_forward_is_jittable():
     fn = jax.jit(lambda p, x: m2trans_apply(p, x, cfg))
     y = fn(params, jnp.zeros((1, 8, 8, 3)))
     assert y.shape == (1, 16, 16, 3)
+
+
+def test_colors_1_y_channel_path(rng):
+    # Y-channel training/eval config (reference colors: 1 support,
+    # datas/us1k.py:115-116, model head cin=1)
+    cfg = Config(scale=2, n_feats=8, n_blocks=1, colors=1)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    assert params["head"]["w"].shape == (3, 3, 1, 8)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 1)).astype(np.float32))
+    y = m2trans_apply(params, x, cfg)
+    assert y.shape == (1, 32, 32, 3)  # tail always emits 3 channels
+    from m2trans_tpu.metrics import sr_eval_metrics
+
+    m = sr_eval_metrics(y[..., :1], y[..., :1], scale=2, colors=1)
+    assert float(m["ssim"]) == 1.0
+
+
+def test_colors_1_semantic_loss(rng):
+    from m2trans_tpu.losses.semantic import semantic_loss
+    from m2trans_tpu.models.medclip.model import MedCLIPConfig, init_medclip
+
+    mcfg = MedCLIPConfig.tiny()
+    mp = init_medclip(jax.random.PRNGKey(0), mcfg)
+    sr = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32))
+    hr = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32))
+    ids = jnp.zeros((1, 8), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    loss = semantic_loss(mp, mcfg, sr, hr, ids, mask, jax.random.PRNGKey(1),
+                         n_patches=2, clip_size=56)
+    assert float(loss) > 0

@@ -19,7 +19,17 @@ def main() -> None:
 
     cfg = load_config(args.config, overrides={"resume": args.resume})
 
+    import os
+
     import jax
+
+    # multi-host data parallelism (exceeds the single-node reference by
+    # design, SURVEY.md §2.5): when launched under a JAX-aware cluster
+    # scheduler, initialize the distributed runtime before touching devices
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        print(f"## multi-host: process {jax.process_index()} of "
+              f"{jax.process_count()} ##")
 
     print(f"## devices: {jax.devices()} ##")
 
