@@ -267,11 +267,28 @@ def _conv_ps_gelu(x, w, b, r, kw):
     return pixel_shuffle_fast(gelu_exact(y), r)
 
 
+def _tail_fused_fits(w: int, scale: int) -> bool:
+    """VMEM gate for the fused tail kernel. Currently always False: the
+    first implementation OOMs VMEM from lane padding (f32 C=64 scratch pads
+    to 128 lanes; the 32-HR-row output block double-buffers at 128 lanes) —
+    needs the phase-plane (subpixel-conv) layout redesign before it can be
+    enabled. Kernel + parity tests live in ops/pallas/tail.py."""
+    return False
+
+
 def tail_apply(p: Params, x: jnp.ndarray, *, scale: int,
                policy: ComputePolicy) -> jnp.ndarray:
     """Pixel-shuffle upsampling tail (reference :40-56). x4 = two x2 stages
     of [1x1 conv -> PixelShuffle(2) -> GELU], then 3x3 reflect conv to RGB;
-    x2/x3 = one [1x1 conv -> PixelShuffle(s) -> GELU] stage."""
+    x2/x3 = one [1x1 conv -> PixelShuffle(s) -> GELU] stage.
+
+    bf16+Pallas mode runs the whole tail (including the final clamp) as one
+    fused kernel when the per-band VMEM footprint fits."""
+    if (policy.use_pallas and policy.dtype == jnp.bfloat16
+            and x.shape[1] % 8 == 0 and _tail_fused_fits(x.shape[2], scale)):
+        from m2trans_tpu.ops.pallas.tail import tail_fused
+
+        return tail_fused(x.astype(policy.dtype), p, scale=scale)
     kw = dict(dtype=policy.dtype, precision=policy.precision)
     if scale == 4:
         x = _conv_ps_gelu(x, p["c0"]["w"], p["c0"]["b"], 2, kw)
@@ -299,5 +316,9 @@ def m2trans_apply(params: Params, x: jnp.ndarray, cfg: Config,
                        halo=cfg.halo_size)
     y = res + y
     y = tail_apply(params["tail"], y, scale=cfg.scale, policy=policy)
-    y = jnp.clip(y.astype(jnp.float32), 0.0, cfg.rgb_range)
+    # clamp (idempotent when the fused tail already clamped); keep bf16
+    # outputs in bf16 mode — the f32 output conversion alone cost ~2 ms
+    # per step in profiling
+    out_dt = jnp.float32 if policy.dtype == jnp.float32 else policy.dtype
+    y = jnp.clip(y.astype(out_dt), 0.0, cfg.rgb_range)
     return y[:, : h * cfg.scale, : w * cfg.scale, :]

@@ -45,30 +45,22 @@ from m2trans_tpu.ops.halo_attention import halo_attention
 from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
 
 
-def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
-            out_ref, *scratch, block: int, halo: int, wc: int, levels: int,
-            precision):
-    """One (batch, coarse-row-band) grid step.
+def _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, *,
+               block: int, halo: int, wc: int, levels: int, precision):
+    """Process one overlapping full-res band: DWT^L -> qkv -> per-block
+    attention -> IWT^L. ``z``: (win*2^L, Wp_full, Cb) band value (bf16).
+    Returns the (block*2^L, W_full, Cb) output band value (f32).
 
-    xa_ref/xb_ref: (1, block*2^L, Wp_full, Cb) full-res row blocks i, i+1
-    w*_ref:        (C, C) coarse-channel projection weights (C = Cb*4^L)
-    rel*_ref:      (win, C/2)
-    out_ref:       (1, block*2^L, W_full, Cb) full-res output band
-    scratch:       f32 VMEM buffers for the wavelet levels — Mosaic only
-                   supports strided ref loads/stores on 32-bit data, so
-                   each DWT level strided-reads quads from an f32 scratch,
-                   and each IWT level strided-writes into one
-    wc:            coarse width (W_full / 2^L)
+    scratch: f32 VMEM buffers for the wavelet levels — Mosaic only supports
+    strided ref loads/stores on 32-bit data, so each DWT level
+    strided-reads quads from an f32 scratch and each IWT level
+    strided-writes into one.
     """
-    s = 2 ** levels
     win = block + 2 * halo
     wp = wc + 2 * halo  # coarse padded width
     nw = wc // block
     dwt_bufs = scratch[:levels + 1] if levels else []
     iwt_bufs = scratch[levels + 1:] if levels else []
-
-    # assemble the overlapping full-res band
-    z = jnp.concatenate([xa_ref[0], xb_ref[0, : 2 * halo * s]], axis=0)
 
     if levels:
         dwt_bufs[0][:] = z.astype(jnp.float32)
@@ -122,9 +114,6 @@ def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
         outs.append(o.reshape(block, block, c))
 
     out = jnp.concatenate(outs, axis=1)  # (block, wc, C) coarse band
-    if levels == 0:
-        out_ref[0] = out.astype(out_ref.dtype)
-        return
     # synthesis: per level, split subbands and strided-write the pixel quad
     # into the next (f32) buffer
     for l in range(levels):
@@ -135,11 +124,153 @@ def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
         dst[1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
         dst[1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
         out = dst[:]
+    return out
+
+
+def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
+            out_ref, *scratch, block: int, halo: int, wc: int, levels: int,
+            precision):
+    """Banded variant: one (batch, coarse-row-band) grid step; the
+    overlapping band is assembled from two blocked views (used for frames
+    too large to keep resident in VMEM)."""
+    s = 2 ** levels
+    z = jnp.concatenate([xa_ref[0], xb_ref[0, : 2 * halo * s]], axis=0)
+    out = _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
+                     block=block, halo=halo, wc=wc, levels=levels,
+                     precision=precision)
     out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _multiband_kernel(x_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
+                      out_ref, *scratch, block: int, halo: int, wc: int,
+                      nh: int, levels: int, precision):
+    """Whole-image variant: one batch element per program (grid (B,)), the
+    padded image resident in VMEM, with a static loop over row bands.
+    ~nh x fewer program launches than the banded grid — the forward at
+    small frame sizes is launch-overhead-bound, not HBM-bound."""
+    s = 2 ** levels
+    band_rows = (block + 2 * halo) * s
+    step_rows = block * s
+    for i in range(nh):
+        z = x_ref[0, i * step_rows: i * step_rows + band_rows]
+        out = _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref,
+                         relw_ref, block=block, halo=halo, wc=wc,
+                         levels=levels, precision=precision)
+        out_ref[0, i * step_rows: (i + 1) * step_rows] = out.astype(
+            out_ref.dtype)
+
+
+def _branch_scratch_shapes(wp_full, wc, cb, c, block, halo, levels):
+    """Per-band f32 wavelet scratch buffers (shared across band steps)."""
+    shapes = []
+    if levels:
+        rows0 = (block + 2 * halo) * 2 ** levels
+        for l in range(levels + 1):
+            shapes.append(pltpu.VMEM(
+                (rows0 >> l, wp_full >> l, cb * 4 ** l), jnp.float32))
+        for l in range(levels):
+            shapes.append(pltpu.VMEM(
+                (block << (l + 1), wc << (l + 1), c // 4 ** (l + 1)),
+                jnp.float32))
+    return shapes
+
+
+def _lanes(c):
+    return max(c, 128)
+
+
+def _whole_image_vmem_bytes(h, w, cb, c, block, halo, levels):
+    """Lane-padding-aware VMEM footprint estimate for the whole-image
+    kernel (one batch element): in/out images (bf16) + band scratches +
+    slack for band-sized values."""
+    s = 2 ** levels
+    hp, wp = h + 2 * halo * s, w + 2 * halo * s
+    total = 2 * hp * wp * _lanes(cb)  # input image bf16
+    total += 2 * h * w * _lanes(cb)  # output image bf16
+    rows0 = (block + 2 * halo) * s
+    for l in range(levels + 1):
+        total += 4 * (rows0 >> l) * (wp >> l) * _lanes(cb * 4 ** l)
+    for l in range(levels):
+        total += 4 * (block << (l + 1)) * ((w // s) << (l + 1)) * _lanes(
+            c // 4 ** (l + 1))
+    # band-sized live values (k/v/q bands, logits) — generous slack
+    total += 4 * 4 * (block + 2 * halo) * (w // s + 2 * halo) * _lanes(c)
+    return total
+
+
+# Disabled by default: measured on v5e, the whole-image variant runs at the
+# same speed as the banded grid (the forward is bound by the serial
+# per-block matmul chains inside each band, not by program launches) while
+# costing ~30x more compile time from the static band unroll. Kept as a
+# tuning knob for future shapes.
+_WHOLE_IMAGE_VMEM_LIMIT = 0
+
+
+def _halo_attention_whole_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
+                               levels, interpret, precision=None):
+    bsz, h, w, cb = x.shape
+    s = 2 ** levels
+    c = cb * (4 ** levels)
+    win = block + 2 * halo
+    wc = w // s
+    nh = h // (block * s)
+    wq, wk, wv = (w_qkv[:, :c], w_qkv[:, c:2 * c], w_qkv[:, 2 * c:])
+
+    xp = jnp.pad(x, ((0, 0), (halo * s, halo * s), (halo * s, halo * s),
+                     (0, 0)))
+    hp_full, wp_full = h + 2 * halo * s, w + 2 * halo * s
+
+    kernel = functools.partial(_multiband_kernel, block=block, halo=halo,
+                               wc=wc, nh=nh, levels=levels,
+                               precision=precision)
+    nw = wc // block
+    flops = bsz * nh * (
+        2 * win * (wc + 2 * halo) * c * 2 * c
+        + 2 * block * wc * c * c
+        + nw * (2 * block * block * win * win * c * 2))
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, hp_full, wp_full, cb), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((c, c)),
+            const((c, c)),
+            const((c, c)),
+            const((win, c // 2)),
+            const((win, c // 2)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cb), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cb), x.dtype),
+        scratch_shapes=_branch_scratch_shapes(wp_full, wc, cb, c, block,
+                                              halo, levels),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=int(2 * x.size * x.dtype.itemsize),
+            transcendentals=int(bsz * h * w * win * win)),
+        interpret=interpret,
+    )(xp, wq, wk, wv, rel_h, rel_w)
 
 
 def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
                                     levels, interpret, precision=None):
+    bsz, h, w, cb = x.shape
+    c = cb * (4 ** levels)
+    if (_whole_image_vmem_bytes(h, w, cb, c, block, halo, levels)
+            < _WHOLE_IMAGE_VMEM_LIMIT):
+        return _halo_attention_whole_impl(
+            x, w_qkv, rel_h, rel_w, block=block, halo=halo, levels=levels,
+            interpret=interpret, precision=precision)
+    return _halo_attention_banded_impl(
+        x, w_qkv, rel_h, rel_w, block=block, halo=halo, levels=levels,
+        interpret=interpret, precision=precision)
+
+
+def _halo_attention_banded_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
+                                levels, interpret, precision=None):
     bsz, h, w, cb = x.shape
     s = 2 ** levels
     c = cb * (4 ** levels)
@@ -161,16 +292,8 @@ def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
     kernel = functools.partial(_kernel, block=block, halo=halo, wc=wc,
                                levels=levels, precision=precision)
 
-    scratch_shapes = []
-    if levels:
-        rows0 = win * s
-        for l in range(levels + 1):  # analysis buffers (level 0 = input)
-            scratch_shapes.append(pltpu.VMEM(
-                (rows0 >> l, wp_full >> l, cb * 4 ** l), jnp.float32))
-        for l in range(levels):  # synthesis buffers
-            scratch_shapes.append(pltpu.VMEM(
-                (block << (l + 1), wc << (l + 1), c // 4 ** (l + 1)),
-                jnp.float32))
+    scratch_shapes = _branch_scratch_shapes(wp_full, wc, cb, c, block, halo,
+                                            levels)
     flops_per_band = (
         2 * win * (wc + 2 * halo) * c * 2 * c
         + 2 * block * wc * c * c

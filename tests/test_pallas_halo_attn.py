@@ -122,3 +122,49 @@ def test_wavelet_fused_branch_grad(rng):
     g2 = jax.grad(loss_xla, argnums=(0, 1))(x, w_qkv)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("levels,cb", [(0, 16), (1, 8), (2, 4)])
+def test_banded_kernel_matches_xla(levels, cb, rng):
+    # the banded (row-band grid) variant stays in use for large frames;
+    # keep it covered now that small shapes route to the whole-image kernel
+    from m2trans_tpu.ops.pallas.halo_attn import _halo_attention_banded_impl
+    from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
+
+    c = cb * 4 ** levels
+    h = w = 8 * 2 ** levels * 2
+    x = jnp.asarray(rng.standard_normal((1, h, w, cb)).astype(np.float32))
+    w_qkv = jnp.asarray(
+        rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    rel_h = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
+    rel_w = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
+    got = _halo_attention_banded_impl(x, w_qkv, rel_h, rel_w, block=8,
+                                      halo=1, levels=levels, interpret=True)
+    z = x
+    for _ in range(levels):
+        z = haar_dwt(z)
+    want = xla_ref(z, w_qkv, rel_h, rel_w)
+    for _ in range(levels):
+        want = haar_iwt(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_fused_tail_matches_xla(scale, rng):
+    from m2trans_tpu.config import Config
+    from m2trans_tpu.models import init_m2trans
+    from m2trans_tpu.models.m2trans import ComputePolicy, tail_apply
+    from m2trans_tpu.ops.pallas.tail import tail_fused
+
+    cfg = Config(scale=scale, n_feats=16, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)["tail"]
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 16)).astype(np.float32))
+    pol = ComputePolicy(dtype=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                        use_pallas=False)
+    want = np.clip(np.asarray(tail_apply(params, x, scale=scale,
+                                         policy=pol)), 0.0, 1.0)
+    got = np.asarray(tail_fused(x, params, scale=scale, interpret=True,
+                                precision=jax.lax.Precision.HIGHEST))
+    assert got.shape == want.shape == (2, 16 * scale, 24 * scale, 3)
+    np.testing.assert_allclose(got, want, atol=3e-5)
