@@ -36,7 +36,7 @@ def main() -> None:
     import numpy as np
 
     from m2trans_tpu.config import load_config
-    from m2trans_tpu.models.m2trans import ComputePolicy, policy_from_config
+    from m2trans_tpu.models.m2trans import policy_from_config
     from m2trans_tpu.parallel.streaming import StreamingSR
     from m2trans_tpu.train.checkpoint import load_params_any
 

@@ -27,7 +27,6 @@ happens once on the host per step with static padding (``tokenize``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax

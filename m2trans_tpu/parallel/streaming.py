@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from m2trans_tpu.config import Config
-from m2trans_tpu.models import m2trans_apply, policy_from_config
+from m2trans_tpu.models import m2trans_apply
 from m2trans_tpu.models.m2trans import ComputePolicy
 
 

@@ -11,8 +11,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-from typing import Optional
-
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))

@@ -18,7 +18,6 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 from functools import partial

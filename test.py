@@ -19,11 +19,16 @@ def main() -> None:
     parser.add_argument("--model_path", type=str, default=None)
     parser.add_argument("--full_metrics", action="store_true", default=True)
     parser.add_argument("--save_image", action="store_true")
+    parser.add_argument("--dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="float32 = bit-parity eval (default); "
+                             "bfloat16 = fast serving numerics")
     args = parser.parse_args()
 
     from m2trans_tpu.config import load_config
 
-    cfg = load_config(args.config, overrides={"model_path": args.model_path})
+    cfg = load_config(args.config, overrides={"model_path": args.model_path,
+                                              "dtype": args.dtype})
 
     from m2trans_tpu.data import create_datasets
     from m2trans_tpu.train.checkpoint import load_params_any
