@@ -149,7 +149,6 @@ def save_config(cfg: Config, path: str) -> None:
     d = dataclasses.asdict(cfg)
     extras = d.pop("extras", {})
     d.update(extras)
-    d["eval_sets"] = list(d.get("eval_sets") or [])
-    d["window_sizes"] = list(d.get("window_sizes") or [])
+    d = {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
     with open(path, "w") as f:
         yaml.dump(d, f, default_flow_style=False)

@@ -99,3 +99,18 @@ def test_scale_transfer_skips_tail(tmp_path):
     assert "tail" not in partial
     np.testing.assert_allclose(np.asarray(params2["head"]["w"]),
                                partial["head"]["w"], atol=0)
+
+
+def test_orbax_save_load_roundtrip(tmp_path, rng):
+    from m2trans_tpu.train.checkpoint import load_params_any, save_params
+
+    cfg = Config(scale=2, n_feats=8, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(5), cfg)
+    path = str(tmp_path / "ckpt")
+    save_params(path, params)
+    loaded = load_params_any(path, cfg)
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(loaded)):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0)
