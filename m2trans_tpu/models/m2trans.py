@@ -208,12 +208,13 @@ def tblock_apply(p: Params, x: jnp.ndarray, *, block: int = 8, halo: int = 1,
     return out
 
 
-def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
-               block: int = 8, halo: int = 1) -> jnp.ndarray:
-    """Coarse-to-Fine Transformer Module (reference CFTM.forward :132-164,
-    norm=True path)."""
-    # bf16 fast path: one Pallas kernel per branch fusing
-    # DWT^L -> qkv -> halo attention -> IWT^L (no coarse-tensor HBM trips)
+def make_branch_fn(p: Params, policy: ComputePolicy, *, block: int = 8,
+                   halo: int = 1):
+    """Returns branch(name, z, levels) computing one CFTM wavelet branch:
+    DWT^levels -> halo attention -> IWT^levels. The bf16+Pallas fast path
+    runs the whole branch as one fused kernel (no coarse-tensor HBM
+    round-trips); otherwise XLA ops. Shared by the single-device forward
+    and the spatially-sharded forward."""
     use_fused = policy.use_pallas and policy.dtype == jnp.bfloat16
 
     def branch(name, z, levels):
@@ -236,6 +237,14 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
             out = haar_iwt(out)
         return out
 
+    return branch
+
+
+def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
+               block: int = 8, halo: int = 1) -> jnp.ndarray:
+    """Coarse-to-Fine Transformer Module (reference CFTM.forward :132-164,
+    norm=True path)."""
+    branch = make_branch_fn(p, policy, block=block, halo=halo)
     xn = instance_norm(x)
     x1, x2, x3, x4 = jnp.split(xn, 4, axis=-1)
 

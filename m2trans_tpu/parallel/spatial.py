@@ -41,12 +41,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from m2trans_tpu.config import Config
 from m2trans_tpu.models.m2trans import (
     ComputePolicy,
+    make_branch_fn,
     policy_from_config,
-    tblock_apply,
 )
 from m2trans_tpu.ops.conv import conv2d, gelu_exact
 from m2trans_tpu.ops.pixel_shuffle import pixel_shuffle_fast, ps_weight_perm
-from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
 
 Params = Dict[str, Any]
 
@@ -130,23 +129,18 @@ def _cftm_sharded(p: Params, x: jnp.ndarray, *, n: int,
     m = HALO_ROWS
     xe = _exchange_rows(x, m, n, fill="zeros")
     mask = _edge_halo_mask(xe.shape[1], m, n, xe.dtype, x.shape[1])
-
-    def attn(name, z):
-        return tblock_apply(p[name], z, block=block, halo=halo,
-                            policy=policy)
+    branch = make_branch_fn(p, policy, block=block, halo=halo)
 
     xn = _instance_norm_global(xe, m, n) * mask
     x1, x2, x3, x4 = jnp.split(xn, 4, axis=-1)
 
-    x1 = (attn("attn1", x1) + x1) * mask
+    x1 = (branch("attn1", x1, 0) + x1) * mask
     x2 = (x2 + x1) * 0.5
-    x2 = (haar_iwt(attn("attn2", haar_dwt(x2))) + x2) * mask
+    x2 = (branch("attn2", x2, 1) + x2) * mask
     x3 = (x3 + x2) * 0.5
-    x3 = (haar_iwt(haar_iwt(attn("attn3", haar_dwt(haar_dwt(x3))))) + x3
-          ) * mask
+    x3 = (branch("attn3", x3, 2) + x3) * mask
     x4 = (x4 + x3) * 0.5
-    x4 = (haar_iwt(haar_iwt(attn("attn4", haar_dwt(haar_dwt(x4))))) + x4
-          ) * mask
+    x4 = (branch("attn4", x4, 2) + x4) * mask
 
     xc = jnp.concatenate([x1, x2, x3, x4], axis=-1)
     ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",

@@ -240,6 +240,9 @@ class Trainer:
 
                 if (it + 1) % cfg.log_every == 0:
                     avg = epoch_loss / (it + 1)
+                    # faithful reference quirk: the logged stat divides the
+                    # running average by (iter+1) a second time
+                    # (reference train.py:248)
                     self.stat_dict["losses"].append(avg / (it + 1))
                     dur = time.time() - timer_start
                     timer_start = time.time()
