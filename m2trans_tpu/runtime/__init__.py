@@ -102,6 +102,9 @@ class NativeTrainLoader:
                 self._handle, b,
                 lr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 hr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if rc == -2:
+                raise RuntimeError("native loader timed out producing a "
+                                   "batch (worker failure?)")
             if rc != 0:
                 raise RuntimeError("native loader aborted")
             yield lr, hr

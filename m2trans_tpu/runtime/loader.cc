@@ -13,6 +13,7 @@
 // seed) so runs are reproducible regardless of worker scheduling.
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -221,11 +222,16 @@ int loader_start_epoch(void* handle, int epoch, int repeat) {
   return L->steps;
 }
 
-// Blocking fetch of batch b (in order). Returns 0 on success.
+// Blocking fetch of batch b (in order). Returns 0 on success, -1 if the
+// loader was stopped, -2 on timeout (5 min without the batch appearing —
+// surfaces worker failures instead of hanging the training loop).
 int loader_next(void* handle, int b, float* lr_out, float* hr_out) {
   auto* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
-  L->cv.wait(lk, [&] { return L->ready.count(b) || L->stop.load(); });
+  bool ok = L->cv.wait_for(lk, std::chrono::minutes(5), [&] {
+    return L->ready.count(b) || L->stop.load();
+  });
+  if (!ok) return -2;
   auto it = L->ready.find(b);
   if (it == L->ready.end()) return -1;
   auto buf = std::move(it->second);
