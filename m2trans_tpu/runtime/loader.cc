@@ -98,6 +98,7 @@ struct Loader {
   std::mutex mu;
   std::condition_variable cv;
   std::atomic<int> next_batch{0};
+  std::atomic<int> consumed{0};  // next batch index the consumer needs
   std::map<int, std::pair<std::vector<float>, std::vector<float>>> ready;
   size_t max_ready = 8;
   std::vector<std::thread> threads;
@@ -161,7 +162,13 @@ struct Loader {
                hbuf.data() + (long)i * patch * patch * hr[0].c);
       }
       std::unique_lock<std::mutex> lk(mu);
-      cv.wait(lk, [&] { return ready.size() < max_ready || stop.load(); });
+      // WINDOW-based backpressure, keyed on the consumer's position: a
+      // size-based predicate (ready.size() < max) can deadlock — the map
+      // can fill with batches AHEAD of the in-order batch the consumer is
+      // waiting for, blocking the very producer that holds it.
+      cv.wait(lk, [&] {
+        return b < consumed.load() + (int)max_ready || stop.load();
+      });
       if (stop.load()) return;
       ready.emplace(b, std::make_pair(std::move(lbuf), std::move(hbuf)));
       cv.notify_all();
@@ -217,6 +224,7 @@ int loader_start_epoch(void* handle, int epoch, int repeat) {
   }
   L->steps = n / L->batch;
   L->next_batch.store(0);
+  L->consumed.store(0);
   for (int w = 0; w < L->workers; ++w)
     L->threads.emplace_back(&Loader::worker, L);
   return L->steps;
@@ -236,6 +244,7 @@ int loader_next(void* handle, int b, float* lr_out, float* hr_out) {
   if (it == L->ready.end()) return -1;
   auto buf = std::move(it->second);
   L->ready.erase(it);
+  L->consumed.store(b + 1);
   L->cv.notify_all();
   lk.unlock();
   memcpy(lr_out, buf.first.data(), buf.first.size() * sizeof(float));

@@ -93,3 +93,14 @@ def test_patch_values_come_from_source_images(npy_cache):
                 found = True
                 break
         assert found
+
+
+def test_no_deadlock_with_tiny_window_many_epochs(npy_cache):
+    """Regression: size-based backpressure could fill the ready map with
+    batches ahead of the in-order consumer and deadlock the producer
+    holding the needed batch. Many epochs x many workers x small batches
+    makes the race likely; the loader must finish every epoch."""
+    loader = make_loader(npy_cache, batch_size=1, repeat=24, num_workers=6)
+    for _ in range(6):
+        n = sum(1 for _ in loader)
+        assert n == len(loader) == 96
