@@ -255,6 +255,36 @@ def _halo_attention_whole_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
     )(xp, wq, wk, wv, rel_h, rel_w)
 
 
+def _banded_vmem_bytes(w, cb, c, block, halo, levels):
+    """Lane-padding-aware per-band VMEM estimate for the banded kernel
+    (input/output double-buffered blocks + the f32 wavelet scratches +
+    slack for live band values). Everything scales linearly with W."""
+    s = 2 ** levels
+    wp_full = w + 2 * halo * s
+    blk_full = block * s
+    rows0 = (block + 2 * halo) * s
+    total = 2 * 2 * 2 * blk_full * wp_full * _lanes(cb)  # 2 views, 2 bufs
+    total += 2 * 2 * blk_full * w * _lanes(cb)  # out block, 2 bufs
+    for l in range(levels + 1):
+        total += 4 * (rows0 >> l) * (wp_full >> l) * _lanes(cb * 4 ** l)
+    for l in range(levels):
+        total += 4 * (block << (l + 1)) * ((w // s) << (l + 1)) * _lanes(
+            c // 4 ** (l + 1))
+    # live values: k/v/q bands (f32 accum) + per-block logits
+    total += 4 * 4 * rows0 // s * (w // s + 2 * halo) * _lanes(c)
+    return total
+
+
+# Gate calibrated against observed failures: W=256/L=2 OOM'd the 16 MB
+# VMEM (estimate 28.2M, actual 16.22M) and W=512/L=0 OOM'd with an ~17M
+# estimate — the overshoot factor varies by level, so gate conservatively.
+# The flagship band shapes (W<=96..192) all estimate under 11M and are
+# unaffected. Beyond the gate, fall back to the XLA composition (correct,
+# slower) — genuinely large frames should use spatial sharding, which
+# splits H, or a future width-blocked kernel (NOTES_ROUND2.md).
+_BANDED_VMEM_LIMIT = 12 * 1024 * 1024
+
+
 def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
                                     levels, interpret, precision=None):
     bsz, h, w, cb = x.shape
@@ -264,6 +294,9 @@ def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
         return _halo_attention_whole_impl(
             x, w_qkv, rel_h, rel_w, block=block, halo=halo, levels=levels,
             interpret=interpret, precision=precision)
+    if _banded_vmem_bytes(w, cb, c, block, halo, levels) > _BANDED_VMEM_LIMIT:
+        return _xla_reference(x, w_qkv, rel_h, rel_w, block=block, halo=halo,
+                              levels=levels, precision=precision)
     return _halo_attention_banded_impl(
         x, w_qkv, rel_h, rel_w, block=block, halo=halo, levels=levels,
         interpret=interpret, precision=precision)

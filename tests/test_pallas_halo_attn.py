@@ -168,3 +168,33 @@ def test_fused_tail_matches_xla(scale, rng):
                                 precision=jax.lax.Precision.HIGHEST))
     assert got.shape == want.shape == (2, 16 * scale, 24 * scale, 3)
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_wide_frame_falls_back_to_xla(rng):
+    """Frames whose per-band VMEM estimate exceeds the gate must dispatch
+    to the XLA composition (observed hardware VMEM OOMs at W>=256 for the
+    wavelet branches) and still produce correct results."""
+    from m2trans_tpu.ops.pallas.halo_attn import (
+        _BANDED_VMEM_LIMIT,
+        _banded_vmem_bytes,
+        halo_attention_qkv_fused,
+    )
+    from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
+
+    cb, levels, w = 16, 2, 256
+    c = cb * 4 ** levels
+    assert _banded_vmem_bytes(w, cb, c, 8, 1, levels) > _BANDED_VMEM_LIMIT
+    x = jnp.asarray(rng.standard_normal((1, 32, w, cb)).astype(np.float32))
+    w_qkv = jnp.asarray(
+        rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.05)
+    rel_h = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
+    rel_w = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
+    got = halo_attention_qkv_fused(x, w_qkv, rel_h, rel_w, levels=levels,
+                                   interpret=True)
+    z = x
+    for _ in range(levels):
+        z = haar_dwt(z)
+    want = xla_ref(z, w_qkv, rel_h, rel_w)
+    for _ in range(levels):
+        want = haar_iwt(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
