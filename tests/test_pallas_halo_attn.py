@@ -170,27 +170,21 @@ def test_fused_tail_matches_xla(scale, rng):
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
-def test_wide_frame_falls_back_to_xla(rng):
-    """Frames whose per-band VMEM estimate exceeds the gate must dispatch
-    to the XLA composition (observed hardware VMEM OOMs at W>=256 for the
-    wavelet branches) and still produce correct results."""
-    from m2trans_tpu.ops.pallas.halo_attn import (
-        _BANDED_VMEM_LIMIT,
-        _banded_vmem_bytes,
-        halo_attention_qkv_fused,
-    )
+@pytest.mark.parametrize("levels,cb,w", [(2, 16, 256), (0, 16, 640)])
+def test_tiled_wide_frame_matches_xla(levels, cb, w, rng):
+    """Wide frames route to the width-blocked (4-view) tiled kernel."""
+    from m2trans_tpu.ops.pallas.halo_attn import _halo_attention_tiled_impl
     from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
 
-    cb, levels, w = 16, 2, 256
     c = cb * 4 ** levels
-    assert _banded_vmem_bytes(w, cb, c, 8, 1, levels) > _BANDED_VMEM_LIMIT
-    x = jnp.asarray(rng.standard_normal((1, 32, w, cb)).astype(np.float32))
+    h = 8 * 2 ** levels * 2
+    x = jnp.asarray(rng.standard_normal((1, h, w, cb)).astype(np.float32))
     w_qkv = jnp.asarray(
         rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.05)
     rel_h = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
     rel_w = jnp.asarray(rng.standard_normal((10, c // 2)).astype(np.float32))
-    got = halo_attention_qkv_fused(x, w_qkv, rel_h, rel_w, levels=levels,
-                                   interpret=True)
+    got = _halo_attention_tiled_impl(x, w_qkv, rel_h, rel_w, block=8,
+                                     halo=1, levels=levels, interpret=True)
     z = x
     for _ in range(levels):
         z = haar_dwt(z)
