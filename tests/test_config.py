@@ -53,3 +53,20 @@ def test_save_roundtrip(tmp_path):
     save_config(cfg, str(out))
     back = load_config(str(out))
     assert back.scale == 3 and back.lambda_clip == 0.5
+
+
+def test_experiment_setup_and_stat_dict(tmp_path):
+    from m2trans_tpu.utils.experiment import get_stat_dict, setup_experiment
+
+    cfg = load_config(None, overrides={
+        "log_path": str(tmp_path), "log_name": "myrun", "scale": 3})
+    exp, models, log_file, _ = setup_experiment(cfg)
+    assert "myrun-" in exp
+    assert os.path.isdir(models)
+    assert os.path.isdir(os.path.join(exp, "test_results_x3"))
+    assert os.path.exists(os.path.join(exp, "config.yml"))
+
+    stat = get_stat_dict(["CCA-US", "Custom-Set"])
+    assert set(stat) == {"epochs", "losses", "ema_loss", "CCA-US",
+                         "Custom-Set"}
+    assert stat["Custom-Set"]["best_psnr"] == {"value": 0.0, "epoch": 0}

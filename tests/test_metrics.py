@@ -115,3 +115,23 @@ def test_eval_recipe_shapes_and_range(rng):
     m = sr_eval_metrics(jnp.asarray(sr), jnp.asarray(hr), scale=4)
     assert 20 < float(m["psnr"]) < 60
     assert 0 < float(m["ssim"]) <= 1
+
+
+def test_fsim_gray_input(rng):
+    # 1-channel input takes the repeat->3ch path
+    x = rng.uniform(0, 1, (1, 48, 48, 1)).astype(np.float32)
+    s = np.asarray(fsim(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(s, 1.0, atol=1e-4)
+
+
+def test_gmsd_odd_sizes(rng):
+    x = rng.uniform(0, 1, (1, 33, 47, 3)).astype(np.float32)
+    same = np.asarray(gmsd(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(same, 0.0, atol=1e-5)
+
+
+def test_fsim_downsample_path(rng):
+    # min(H, W) >= 384 triggers the F=round(min/256)>1 mean-pool downsample
+    x = rng.uniform(0, 1, (1, 384, 384, 3)).astype(np.float32)
+    s = float(fsim(jnp.asarray(x), jnp.asarray(x))[0])
+    assert abs(s - 1.0) < 1e-3

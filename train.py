@@ -35,6 +35,10 @@ def main() -> None:
 
     from m2trans_tpu.train.loop import Trainer
 
+    if cfg.dtype == "float32":
+        print("## dtype float32 runs bit-parity (HIGHEST-precision) "
+              "numerics — ~2.3x slower training than dtype: bfloat16 ##")
+
     semantic_loss_fn = None
     if cfg.lambda_clip > 0 and cfg.medclip_path:
         from m2trans_tpu.losses.semantic import make_semantic_loss
