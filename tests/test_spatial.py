@@ -64,3 +64,25 @@ def test_data_space_2d_mesh(rng):
     got = np.asarray(spatial_sharded_forward(params, x, cfg, mesh=mesh,
                                              batch_axis="data"))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sharded_bf16_pallas_path_composes(rng):
+    """The fused Pallas branch kernels (interpret mode on CPU) must compose
+    with shard_map + ppermute; bf16 tolerance vs the bf16 single-device
+    forward."""
+    import jax.numpy as jnp
+
+    from m2trans_tpu.models.m2trans import ComputePolicy
+
+    cfg = Config(scale=2, n_feats=8, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(3), cfg)
+    pol = ComputePolicy(dtype=jnp.bfloat16, precision=None, use_pallas=True)
+    n = 2
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32 * n, 32, 3)).astype(np.float32))
+    want = np.asarray(m2trans_apply(params, x, cfg, policy=pol),
+                      dtype=np.float32)
+    got = np.asarray(
+        spatial_sharded_forward(params, x, cfg, mesh=make_mesh(n),
+                                policy=pol), dtype=np.float32)
+    assert got.shape == want.shape
+    assert np.abs(got - want).mean() < 2e-2
