@@ -53,15 +53,28 @@ def evaluate_dataset(
     forward_fn=None,
     full_metrics: bool = False,
     save_dir: Optional[str] = None,
+    writer=None,
+    writer_tag: Optional[str] = None,
+    writer_step: int = 0,
 ) -> Dict[str, float]:
     """PSNR/SSIM (and optionally FSIM/GMSD) averaged over a benchmark set,
-    with the reference's rounding biases applied."""
+    with the reference's rounding biases applied. When a TensorBoard
+    ``writer`` is given, every 20th image emits a [LR-up | SR | HR]
+    comparison panel (reference train.py:281-296)."""
     fwd = forward_fn or make_forward_fn(cfg)
     sums = {"psnr": 0.0, "ssim": 0.0, "fsim": 0.0, "gmsd": 0.0}
     n = 0
     for lr, hr, name in dataset:
         sr = fwd(params, jnp.asarray(lr))
         assert sr.shape == hr.shape, (sr.shape, hr.shape)
+        if writer is not None and n % 20 == 0:
+            from m2trans_tpu.train.loop import _comparison_panel
+
+            panel = _comparison_panel(
+                np.asarray(lr[0]), np.asarray(sr[0], np.float32),
+                np.asarray(hr[0]), cfg.rgb_range)
+            writer.add_image(f"Valid_{writer_tag}/lr_sr_hr_image", panel,
+                             writer_step + n, dataformats="HWC")
         if full_metrics:
             sums["fsim"] += float(fsim(jnp.asarray(hr), sr,
                                        data_range=cfg.rgb_range)[0])
@@ -100,6 +113,8 @@ def evaluate_all(
     *,
     full_metrics: bool = False,
     save_root: Optional[str] = None,
+    writer=None,
+    writer_step: int = 0,
 ) -> Dict[str, Dict[str, float]]:
     fwd = make_forward_fn(cfg)
     results = {}
@@ -108,5 +123,6 @@ def evaluate_all(
                     if save_root else None)
         results[item["name"]] = evaluate_dataset(
             params, cfg, item["dataset"], forward_fn=fwd,
-            full_metrics=full_metrics, save_dir=save_dir)
+            full_metrics=full_metrics, save_dir=save_dir,
+            writer=writer, writer_tag=item["name"], writer_step=writer_step)
     return results

@@ -270,7 +270,8 @@ class Trainer:
         if cfg.save_image:
             save_root = f"{self.experiment_path}/test_results_x{cfg.scale}"
         results = evaluate_all(self.params, cfg, self.eval_sets,
-                               save_root=save_root)
+                               save_root=save_root, writer=self.writer,
+                               writer_step=epoch)
         log = ""
         for name, m in results.items():
             s = self.stat_dict[name]
