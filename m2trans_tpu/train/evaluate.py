@@ -56,16 +56,31 @@ def evaluate_dataset(
     writer=None,
     writer_tag: Optional[str] = None,
     writer_step: int = 0,
+    bucket: int = 0,
 ) -> Dict[str, float]:
     """PSNR/SSIM (and optionally FSIM/GMSD) averaged over a benchmark set,
     with the reference's rounding biases applied. When a TensorBoard
     ``writer`` is given, every 20th image emits a [LR-up | SR | HR]
-    comparison panel (reference train.py:281-296)."""
+    comparison panel (reference train.py:281-296).
+
+    ``bucket > 0`` reflect-pads every LR frame up to a multiple of
+    ``bucket`` before the forward and crops the SR back: one compiled
+    executable per bucket instead of per image shape. APPROXIMATE — the
+    extra padding context perturbs border pixels slightly (typically
+    <0.01 dB); the default (0) evaluates exactly like the reference."""
     fwd = forward_fn or make_forward_fn(cfg)
     sums = {"psnr": 0.0, "ssim": 0.0, "fsim": 0.0, "gmsd": 0.0}
     n = 0
     for lr, hr, name in dataset:
-        sr = fwd(params, jnp.asarray(lr))
+        lr_j = jnp.asarray(lr)
+        if bucket > 0:
+            from m2trans_tpu.ops.pad import pad_to_multiple
+
+            h0, w0 = lr_j.shape[1], lr_j.shape[2]
+            lr_j = pad_to_multiple(lr_j, bucket)
+            sr = fwd(params, lr_j)[:, : h0 * cfg.scale, : w0 * cfg.scale]
+        else:
+            sr = fwd(params, lr_j)
         assert sr.shape == hr.shape, (sr.shape, hr.shape)
         if writer is not None and n % 20 == 0:
             from m2trans_tpu.train.loop import _comparison_panel
@@ -115,6 +130,7 @@ def evaluate_all(
     save_root: Optional[str] = None,
     writer=None,
     writer_step: int = 0,
+    bucket: int = 0,
 ) -> Dict[str, Dict[str, float]]:
     fwd = make_forward_fn(cfg)
     results = {}
@@ -124,5 +140,6 @@ def evaluate_all(
         results[item["name"]] = evaluate_dataset(
             params, cfg, item["dataset"], forward_fn=fwd,
             full_metrics=full_metrics, save_dir=save_dir,
-            writer=writer, writer_tag=item["name"], writer_step=writer_step)
+            writer=writer, writer_tag=item["name"], writer_step=writer_step,
+            bucket=bucket)
     return results

@@ -19,6 +19,10 @@ def main() -> None:
     parser.add_argument("--model_path", type=str, default=None)
     parser.add_argument("--full_metrics", action="store_true", default=True)
     parser.add_argument("--save_image", action="store_true")
+    parser.add_argument("--bucket", type=int, default=0,
+                        help="pad LR frames to multiples of N: one compile "
+                             "per bucket instead of per shape (approximate; "
+                             "0 = exact)")
     parser.add_argument("--dtype", type=str, default=None,
                         choices=["float32", "bfloat16"],
                         help="float32 = bit-parity eval (default); "
@@ -40,7 +44,8 @@ def main() -> None:
     results = evaluate_all(params, cfg, eval_sets,
                            full_metrics=args.full_metrics,
                            save_root=("test_results" if args.save_image
-                                      else None))
+                                      else None),
+                           bucket=args.bucket)
     for name, m in results.items():
         print(f"[{name}-X{cfg.scale}] "
               f"PSNR:{m['psnr']:.2f},SSIM:{m['ssim']:.4f}" +

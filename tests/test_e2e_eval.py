@@ -73,3 +73,14 @@ def test_eval_save_images(synthetic_benchmark, tmp_path):
     assert files == ["img0.jpg", "img1.jpg"]
     img = imageio.imread(out_root / "CCA-US/img0.jpg")
     assert img.shape == (48, 40, 3)
+
+
+def test_bucketed_eval_close_to_exact(synthetic_benchmark, rng):
+    cfg = Config(scale=2, n_feats=8, n_blocks=1,
+                 data_path=str(synthetic_benchmark), eval_sets=["CCA-US"])
+    params = init_m2trans(jax.random.PRNGKey(4), cfg)
+    _, eval_sets = create_datasets(cfg, train=False)
+    exact = evaluate_all(params, cfg, eval_sets)["CCA-US"]
+    bucketed = evaluate_all(params, cfg, eval_sets, bucket=64)["CCA-US"]
+    assert abs(exact["psnr"] - bucketed["psnr"]) < 0.3
+    assert abs(exact["ssim"] - bucketed["ssim"]) < 0.01
