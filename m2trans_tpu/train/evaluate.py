@@ -7,9 +7,10 @@ Reproduces the reference recipes exactly:
     *before* Y-conversion, with their own +5e-5 biases.
 
 jit caches one executable per distinct LR shape (benchmark images vary);
-the persistent compilation cache makes repeat runs cheap. Evaluation is
-exact — images are padded only by the model's own pad-to-32 rule, never to
-coarser buckets, so metrics are bit-comparable with the reference.
+the persistent compilation cache makes repeat runs cheap. By default
+evaluation is exact — images are padded only by the model's own pad-to-32
+rule, so metrics are bit-comparable with the reference; ``bucket`` trades
+a little border exactness for far fewer compiles.
 """
 
 from __future__ import annotations
