@@ -51,6 +51,13 @@ class MedCLIPConfig:
     vision: SwinConfig = SwinConfig()
     text: BertConfig = BertConfig()
     projection_dim: int = 512
+    # medclip v0.0.3's text pooling averages hidden layers [1, 2, -1] over
+    # layers and ALL tokens ('mixed'); kept switchable in case the released
+    # package differs when validated with real weights:
+    #   'mixed'    — mean(hidden[1], hidden[2], hidden[-1]) then token mean
+    #   'last4'    — mean of the last 4 hidden layers then token mean
+    #   'cls'      — last layer [CLS] token
+    text_pooling: str = "mixed"
 
     @staticmethod
     def tiny() -> "MedCLIPConfig":
@@ -107,8 +114,17 @@ def encode_text(params: Params, input_ids: jnp.ndarray,
     medclip layer-[1,2,-1] + token mean pooling."""
     _, hidden = bert_apply(params["text"], input_ids, attention_mask,
                            cfg.text)
-    mixed = (hidden[1] + hidden[2] + hidden[-1]) / 3.0
-    pooled = jnp.mean(mixed, axis=1)  # over all tokens, padding included
+    if cfg.text_pooling == "mixed":
+        mix = (hidden[1] + hidden[2] + hidden[-1]) / 3.0
+        pooled = jnp.mean(mix, axis=1)  # over all tokens, padding included
+    elif cfg.text_pooling == "last4":
+        k = min(4, len(hidden) - 1)
+        mix = sum(hidden[-i] for i in range(1, k + 1)) / k
+        pooled = jnp.mean(mix, axis=1)
+    elif cfg.text_pooling == "cls":
+        pooled = hidden[-1][:, 0]
+    else:
+        raise ValueError(f"unknown text_pooling {cfg.text_pooling}")
     proj = pooled @ params["text_proj"]["w"] + params["text_proj"]["b"]
     return _normalize(proj)
 

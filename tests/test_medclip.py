@@ -180,3 +180,22 @@ def test_semantic_loss_fn_tokenize_and_train_step(tiny_loss, rng, tmp_path):
                           toks)
     assert float(aux["clip"]) > 0
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_text_pooling_variants(tiny_loss, rng):
+    import dataclasses
+
+    params, mcfg = tiny_loss
+    ids = jnp.asarray(rng.integers(0, 128, (2, 9)).astype(np.int32))
+    mask = jnp.ones((2, 9), jnp.int32)
+    outs = {}
+    for mode in ("mixed", "last4", "cls"):
+        cfg_m = dataclasses.replace(mcfg, text_pooling=mode)
+        t = np.asarray(encode_text(params, ids, mask, cfg_m))
+        np.testing.assert_allclose(np.linalg.norm(t, axis=-1), 1.0,
+                                   atol=1e-5)
+        outs[mode] = t
+    assert not np.allclose(outs["mixed"], outs["cls"])
+    with pytest.raises(ValueError, match="text_pooling"):
+        encode_text(params, ids, mask,
+                    dataclasses.replace(mcfg, text_pooling="bogus"))
