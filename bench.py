@@ -72,15 +72,19 @@ def main() -> None:
     _chain_time(step, params, x0, 1)  # warmup / compile
 
     n1, n2 = 2, 18
-    slopes = []
+    slopes, absolutes = [], []
     for _ in range(5):
         t1 = _chain_time(step, params, x0, n1)
         t2 = _chain_time(step, params, x0, n2)
         s = (t2 - t1) / (n2 - n1)
         if s > 0:  # tunnel hiccups can poison a single chain measurement
             slopes.append(s)
-    slopes.sort()
-    best = slopes[len(slopes) // 2]  # median of clean trials
+        absolutes.append(t2 / n2)
+    if slopes:
+        slopes.sort()
+        best = slopes[len(slopes) // 2]  # median of clean trials
+    else:  # every trial hiccuped: fall back to the best absolute per-call
+        best = min(absolutes)
 
     out_mp = batch * (h * cfg.scale) * (w * cfg.scale) / 1e6
     mps = out_mp / best
