@@ -16,7 +16,6 @@ thread pool for production throughput.
 from __future__ import annotations
 
 import os
-import queue
 import threading
 from typing import Dict, List, Optional, Tuple
 
@@ -57,48 +56,79 @@ class TrainLoader:
 
     def __iter__(self):
         n = len(self.dataset)
-        order_rng = np.random.default_rng((self.seed, self.epoch))
+        epoch = self.epoch
+        order_rng = np.random.default_rng((self.seed, epoch))
         order = order_rng.permutation(n)[: len(self) * self.batch_size]
         batches = order.reshape(-1, self.batch_size)
         self.epoch += 1
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # Producers gate on the consumer position (like runtime/loader.cc):
+        # a worker may claim batch b only while b < consumed + prefetch, so
+        # at most `prefetch` undelivered batches are buffered — host memory
+        # stays bounded when producers outpace the train step. The per-batch
+        # RNG is derived from the batch index (not the worker id), so crops
+        # are deterministic run-to-run regardless of thread scheduling.
         stop = threading.Event()
-        counter = {"next": 0}
-        lock = threading.Lock()
+        state = {"next": 0, "consumed": 0}
+        cv = threading.Condition()
         results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        results_cv = threading.Condition()
+        errors: List[BaseException] = []
 
-        def worker(wid: int):
-            rng = np.random.default_rng((self.seed, self.epoch, wid))
-            while not stop.is_set():
-                with lock:
-                    b = counter["next"]
-                    if b >= len(batches):
+        def worker():
+            while True:
+                with cv:
+                    while (not stop.is_set()
+                           and state["next"] < len(batches)
+                           and state["next"]
+                           >= state["consumed"] + self.prefetch):
+                        cv.wait(timeout=60.0)
+                    b = state["next"]
+                    if stop.is_set() or b >= len(batches):
                         return
-                    counter["next"] = b + 1
-                lrs, hrs = [], []
-                for idx in batches[b]:
-                    lr, hr = self.dataset.get(int(idx), rng)
-                    lrs.append(lr)
-                    hrs.append(hr)
-                with results_cv:
-                    results[b] = (np.stack(lrs), np.stack(hrs))
-                    results_cv.notify_all()
+                    state["next"] = b + 1
+                try:
+                    rng = np.random.default_rng((self.seed, epoch, b))
+                    lrs, hrs = [], []
+                    for idx in batches[b]:
+                        lr, hr = self.dataset.get(int(idx), rng)
+                        lrs.append(lr)
+                        hrs.append(hr)
+                    batch = (np.stack(lrs), np.stack(hrs))
+                except BaseException as e:  # surface in the consumer
+                    with cv:
+                        errors.append(e)
+                        cv.notify_all()
+                    return
+                with cv:
+                    results[b] = batch
+                    cv.notify_all()
 
-        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
-                   for w in range(self.num_workers)]
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
         for t in threads:
             t.start()
 
         try:
             for b in range(len(batches)):
-                with results_cv:
+                with cv:
+                    waited = 0.0
                     while b not in results:
-                        results_cv.wait(timeout=60.0)
-                    yield results.pop(b)
+                        if errors:
+                            raise errors[0]
+                        cv.wait(timeout=60.0)
+                        waited += 60.0
+                        if waited >= 600.0:  # hangs must surface as errors
+                            raise RuntimeError(
+                                f"TrainLoader: batch {b} not produced "
+                                f"within {waited:.0f}s")
+                    batch = results.pop(b)
+                    state["consumed"] = b + 1
+                    cv.notify_all()
+                yield batch
         finally:
-            stop.set()
+            with cv:
+                stop.set()
+                cv.notify_all()
 
 
 def create_datasets(

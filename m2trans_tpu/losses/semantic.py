@@ -22,7 +22,10 @@ patches averaged, real token ids.
 TPU-first: the whole loss is one jitted computation over the batch — the
 reference serializes B tokenizer calls + 2*B*N_patches CLIP forwards per
 step on the host (its biggest throughput sin, SURVEY.md §3.1). Tokenization
-happens once on the host per step with static padding (``tokenize``).
+happens once on the host per step with static padding (``tokenize``); the
+text encoder pools with a mask-weighted token mean by default so the
+embedding is independent of the static padding amount (it matches the
+reference's per-caption unpadded tokenization).
 """
 
 from __future__ import annotations

@@ -7,8 +7,9 @@ jit. Heads per medclip v0.0.3:
 
   * vision: SwinModel pooler_output -> Linear(768, 512) projection;
   * text: BertModel with output_hidden_states; hidden states of layers
-    [1, 2, last] stacked, averaged over the three layers and over ALL
-    tokens (padding included — medclip behavior), then Linear(768, 512);
+    [1, 2, last] stacked, averaged over the three layers and over tokens
+    (mask-weighted by default — see MedCLIPConfig.masked_token_mean),
+    then Linear(768, 512);
   * ``encode_image``/``encode_text`` L2-normalize their outputs.
 
 Pretrained weights: ``load_medclip_torch`` maps the released
@@ -58,6 +59,14 @@ class MedCLIPConfig:
     #   'last4'    — mean of the last 4 hidden layers then token mean
     #   'cls'      — last layer [CLS] token
     text_pooling: str = "mixed"
+    # The reference tokenizes each caption unpadded (losses.py:64: one
+    # caption per call), so medclip's "mean over all tokens" is a mean over
+    # REAL tokens only. Our batched tokenizer pads to a static max_length;
+    # a mask-weighted token mean (default) reproduces the reference's
+    # per-caption behavior exactly and keeps the embedding independent of
+    # padding. Set False only to mirror the medclip package's behavior on
+    # batched padded input (padding included in the mean).
+    masked_token_mean: bool = True
 
     @staticmethod
     def tiny() -> "MedCLIPConfig":
@@ -114,13 +123,19 @@ def encode_text(params: Params, input_ids: jnp.ndarray,
     medclip layer-[1,2,-1] + token mean pooling."""
     _, hidden = bert_apply(params["text"], input_ids, attention_mask,
                            cfg.text)
+
+    def token_mean(mix):
+        if not cfg.masked_token_mean:
+            return jnp.mean(mix, axis=1)  # padding included (medclip pkg)
+        m = attention_mask[..., None].astype(mix.dtype)
+        return (jnp.sum(mix * m, axis=1)
+                / jnp.maximum(jnp.sum(m, axis=1), 1.0))
+
     if cfg.text_pooling == "mixed":
-        mix = (hidden[1] + hidden[2] + hidden[-1]) / 3.0
-        pooled = jnp.mean(mix, axis=1)  # over all tokens, padding included
+        pooled = token_mean((hidden[1] + hidden[2] + hidden[-1]) / 3.0)
     elif cfg.text_pooling == "last4":
         k = min(4, len(hidden) - 1)
-        mix = sum(hidden[-i] for i in range(1, k + 1)) / k
-        pooled = jnp.mean(mix, axis=1)
+        pooled = token_mean(sum(hidden[-i] for i in range(1, k + 1)) / k)
     elif cfg.text_pooling == "cls":
         pooled = hidden[-1][:, 0]
     else:

@@ -183,18 +183,32 @@ extern "C" {
 void* loader_create(const char** hr_paths, const char** lr_paths,
                     int n_images, int patch, int scale, int batch,
                     int workers, uint64_t seed) {
+  if (patch <= 0 || scale <= 0 || batch <= 0 || patch % scale != 0)
+    return nullptr;
   auto* L = new Loader();
   L->patch = patch;
   L->scale = scale;
   L->batch = batch;
   L->workers = workers > 0 ? workers : 1;
   L->seed = seed;
+  const long lp = patch / scale;
   for (int i = 0; i < n_images; ++i) {
     NpyArray h = map_npy(hr_paths[i]);
     NpyArray l = map_npy(lr_paths[i]);
-    if (!h.ok || !l.ok) { delete L; return nullptr; }
-    L->hr.push_back(h);
+    L->hr.push_back(h);  // push before validating: ~Loader unmaps them
     L->lr.push_back(l);
+    // Validate up front so sample() can never index out of bounds:
+    // the crop math (`rng() % (w - lp + 1)`) wraps a negative operand to a
+    // huge modulus if an image is smaller than the patch, and the batch
+    // buffers are sized with index-0 channel counts, so every image must
+    // (a) fit the LR patch, (b) cover the scaled HR crop window, and
+    // (c) agree on channel count across arrays and between HR and LR.
+    if (!h.ok || !l.ok) { delete L; return nullptr; }
+    if (l.w < lp || l.h < lp) { delete L; return nullptr; }
+    if (h.w < l.w * scale || h.h < l.h * scale) { delete L; return nullptr; }
+    if (h.c != l.c || h.c != L->hr[0].c || l.c != L->lr[0].c) {
+      delete L; return nullptr;
+    }
   }
   if (L->hr.empty()) { delete L; return nullptr; }
   return L;

@@ -57,8 +57,10 @@ def restore_latest(mgr: ocp.CheckpointManager,
 def load_params_any(path: str, cfg: Config):
     """Load model params from either a reference ``.pt`` or an orbax dir.
 
-    ``.pt`` -> converter; directory -> orbax StandardRestore of either a
-    bare params tree or a train state containing ``params``.
+    ``.pt`` -> converter. Directories: accepts a raw StandardSave dir, a
+    CheckpointManager step dir (``<models>/<epoch>`` containing ``state/``),
+    or the manager root itself (``<exp>/models`` — picks the latest epoch,
+    like the reference's glob-by-epoch resume, train.py:92-108).
     """
     if path is None:
         raise ValueError("model_path is not set")
@@ -66,8 +68,16 @@ def load_params_any(path: str, cfg: Config):
         params = load_torch_checkpoint(path, cfg)
         return jax.tree_util.tree_map(
             lambda x: jax.numpy.asarray(np.asarray(x)), params)
+    p = os.path.abspath(path)
+    if os.path.isdir(os.path.join(p, "state")):  # manager step dir
+        p = os.path.join(p, "state")
+    elif os.path.isdir(p):  # manager root: newest epoch that has a state
+        steps = [int(d) for d in os.listdir(p) if d.isdigit()
+                 and os.path.isdir(os.path.join(p, d, "state"))]
+        if steps:
+            p = os.path.join(p, str(max(steps)), "state")
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path))
+    restored = ckptr.restore(p)
     if isinstance(restored, dict) and "params" in restored:
         return restored["params"]
     return restored

@@ -17,7 +17,10 @@ def main() -> None:
     parser.add_argument("--config", type=str,
                         default="./configs/M2Trans_x2_test.yml")
     parser.add_argument("--model_path", type=str, default=None)
-    parser.add_argument("--full_metrics", action="store_true", default=True)
+    parser.add_argument("--full_metrics", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="also compute FSIM/GMSD (reference "
+                             "test.py:95-99); --no-full_metrics skips them")
     parser.add_argument("--save_image", action="store_true")
     parser.add_argument("--bucket", type=int, default=0,
                         help="pad LR frames to multiples of N: one compile "

@@ -199,3 +199,30 @@ def test_text_pooling_variants(tiny_loss, rng):
     with pytest.raises(ValueError, match="text_pooling"):
         encode_text(params, ids, mask,
                     dataclasses.replace(mcfg, text_pooling="bogus"))
+
+
+def test_text_embedding_padding_invariant(tiny_loss, rng):
+    """Mask-weighted pooling (default): the embedding must not depend on
+    how much static padding the batched tokenizer added (ADVICE r1; the
+    reference tokenizes per caption unpadded, losses.py:64)."""
+    import dataclasses
+
+    params, mcfg = tiny_loss
+    ids = rng.integers(5, 128, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    pad_ids = np.zeros((2, 16), np.int32)
+    pad_ids[:, :9] = ids
+    pad_mask = np.zeros((2, 16), np.int32)
+    pad_mask[:, :9] = 1
+
+    t_short = np.asarray(encode_text(params, jnp.asarray(ids),
+                                     jnp.asarray(mask), mcfg))
+    t_padded = np.asarray(encode_text(params, jnp.asarray(pad_ids),
+                                      jnp.asarray(pad_mask), mcfg))
+    np.testing.assert_allclose(t_short, t_padded, atol=2e-5)
+
+    # medclip-package mode (padding included) does depend on padding
+    cfg_pkg = dataclasses.replace(mcfg, masked_token_mean=False)
+    t_pkg = np.asarray(encode_text(params, jnp.asarray(pad_ids),
+                                   jnp.asarray(pad_mask), cfg_pkg))
+    assert not np.allclose(t_short, t_pkg, atol=1e-3)

@@ -104,3 +104,43 @@ def test_no_deadlock_with_tiny_window_many_epochs(npy_cache):
     for _ in range(6):
         n = sum(1 for _ in loader)
         assert n == len(loader) == 96
+
+
+def test_rejects_invalid_caches(npy_cache, tmp_path):
+    """loader_create must return nullptr (-> RuntimeError + Python
+    fallback) for caches the sampler cannot index safely (ADVICE r1):
+    images smaller than the patch, and HR/LR channel mismatches that
+    would corrupt the numpy output buffers."""
+    from m2trans_tpu.runtime import NativeTrainLoader
+
+    hr, lr, _ = npy_cache
+    rng = np.random.default_rng(9)
+
+    # (a) LR image smaller than the LR patch
+    tiny = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    tp = tmp_path / "tiny_lr.npy"
+    np.save(tp, tiny)
+    with pytest.raises(RuntimeError):
+        NativeTrainLoader(hr[:1], [str(tp)], patch_size=32, scale=2,
+                          batch_size=1)
+
+    # (b) HR too small to cover the scaled crop window of its LR
+    small_hr = rng.integers(0, 256, (40, 40, 3), np.uint8)
+    sp = tmp_path / "small_hr.npy"
+    np.save(sp, small_hr)
+    with pytest.raises(RuntimeError):
+        NativeTrainLoader([str(sp)], lr[:1], patch_size=32, scale=2,
+                          batch_size=1)
+
+    # (c) channel mismatch between HR (3ch) and LR (1ch)
+    gray = rng.integers(0, 256, (32, 24), np.uint8)
+    gp = tmp_path / "gray_lr.npy"
+    np.save(gp, gray)
+    with pytest.raises(RuntimeError):
+        NativeTrainLoader(hr[:1], [str(gp)], patch_size=32, scale=2,
+                          batch_size=1)
+
+    # (d) patch not divisible by scale
+    with pytest.raises(RuntimeError):
+        NativeTrainLoader(hr[:1], lr[:1], patch_size=33, scale=2,
+                          batch_size=1)
