@@ -64,9 +64,12 @@ def main() -> None:
     @jax.jit
     def step(p, x):
         y = m2trans_apply(p, x, cfg, policy=policy)
-        # feed the (downsampled) output back as the next input: forces true
-        # serialization on lazily-dispatching backends
-        return y[:, :: cfg.scale, :: cfg.scale, :]
+        # Serialize on a full reduction of the output: every HR pixel feeds
+        # the next input, so XLA cannot dead-code-eliminate any tail work.
+        # (A strided-slice feedback — used through round 1 — lets XLA narrow
+        # the final ops to the sliced positions and overstates throughput.)
+        m = y.astype(jnp.float32).mean()
+        return x * 0.999 + m * 1e-3
 
     x0 = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3))
     _chain_time(step, params, x0, 1)  # warmup / compile

@@ -276,28 +276,21 @@ def _conv_ps_gelu(x, w, b, r, kw):
     return pixel_shuffle_fast(gelu_exact(y), r)
 
 
-def _tail_fused_fits(w: int, scale: int) -> bool:
-    """VMEM gate for the fused tail kernel. Currently always False: the
-    first implementation OOMs VMEM from lane padding (f32 C=64 scratch pads
-    to 128 lanes; the 32-HR-row output block double-buffers at 128 lanes) —
-    needs the phase-plane (subpixel-conv) layout redesign before it can be
-    enabled. Kernel + parity tests live in ops/pallas/tail.py."""
-    return False
-
-
 def tail_apply(p: Params, x: jnp.ndarray, *, scale: int,
                policy: ComputePolicy) -> jnp.ndarray:
     """Pixel-shuffle upsampling tail (reference :40-56). x4 = two x2 stages
     of [1x1 conv -> PixelShuffle(2) -> GELU], then 3x3 reflect conv to RGB;
     x2/x3 = one [1x1 conv -> PixelShuffle(s) -> GELU] stage.
 
-    bf16+Pallas mode runs the whole tail (including the final clamp) as one
-    fused kernel when the per-band VMEM footprint fits."""
-    if (policy.use_pallas and policy.dtype == jnp.bfloat16
-            and x.shape[1] % 8 == 0 and _tail_fused_fits(x.shape[2], scale)):
-        from m2trans_tpu.ops.pallas.tail import tail_fused
+    bf16 mode runs the phase-plane formulation (ops/tail_phase.py): the
+    whole tail in LR space as dense matmuls + one block-sparse LR-grid
+    conv, assembling HR pixels once at the end. f32 parity mode keeps the
+    conv->shuffle composition (bit-stable against the golden files)."""
+    if policy.dtype == jnp.bfloat16:
+        from m2trans_tpu.ops.tail_phase import tail_phase_apply
 
-        return tail_fused(x.astype(policy.dtype), p, scale=scale)
+        return tail_phase_apply(p, x, scale=scale, dtype=policy.dtype,
+                                precision=policy.precision)
     kw = dict(dtype=policy.dtype, precision=policy.precision)
     if scale == 4:
         x = _conv_ps_gelu(x, p["c0"]["w"], p["c0"]["b"], 2, kw)

@@ -149,27 +149,6 @@ def test_banded_kernel_matches_xla(levels, cb, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
-@pytest.mark.parametrize("scale", [2, 3, 4])
-def test_fused_tail_matches_xla(scale, rng):
-    from m2trans_tpu.config import Config
-    from m2trans_tpu.models import init_m2trans
-    from m2trans_tpu.models.m2trans import ComputePolicy, tail_apply
-    from m2trans_tpu.ops.pallas.tail import tail_fused
-
-    cfg = Config(scale=scale, n_feats=16, n_blocks=1)
-    params = init_m2trans(jax.random.PRNGKey(0), cfg)["tail"]
-    x = jnp.asarray(rng.standard_normal((2, 16, 24, 16)).astype(np.float32))
-    pol = ComputePolicy(dtype=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                        use_pallas=False)
-    want = np.clip(np.asarray(tail_apply(params, x, scale=scale,
-                                         policy=pol)), 0.0, 1.0)
-    got = np.asarray(tail_fused(x, params, scale=scale, interpret=True,
-                                precision=jax.lax.Precision.HIGHEST))
-    assert got.shape == want.shape == (2, 16 * scale, 24 * scale, 3)
-    np.testing.assert_allclose(got, want, atol=3e-5)
-
-
 @pytest.mark.parametrize("levels,cb,w", [(2, 16, 256), (0, 16, 640)])
 def test_tiled_wide_frame_matches_xla(levels, cb, w, rng):
     """Wide frames route to the width-blocked (4-view) tiled kernel."""
