@@ -9,7 +9,7 @@ Pipeline (FSIM.m / piq.fsim, chromatic variant, defaults):
   3. downsample by F = max(1, round(min(H,W)/256)): FxF mean filter ('same')
      then stride-F subsample;
   4. phase congruency of both luminances (Kovesi's phasecong2: log-Gabor,
-     4 scales, 4 orientations, min wavelength 6, mult 2, sigmaOnf 0.5978,
+     4 scales, 4 orientations, min wavelength 6, mult 2, sigmaOnf 0.55,
      dThetaOnSigma 1.2, noise k=2);
   5. Scharr gradient magnitude ([3 0 -3;10 0 -10;3 0 -3]/16);
   6. S = [(2 PC1 PC2+T1)/(PC1^2+PC2^2+T1)]*[(2 G1 G2+T2)/(G1^2+G2^2+T2)],
@@ -91,7 +91,7 @@ def _filter_grids(rows: int, cols: int):
 
 def _make_pc_filters(rows: int, cols: int, nscale: int = 4, norient: int = 4,
                      min_wavelength: float = 6.0, mult: float = 2.0,
-                     sigma_onf: float = 0.5978,
+                     sigma_onf: float = 0.55,
                      d_theta_on_sigma: float = 1.2) -> np.ndarray:
     """Precompute the (norient, nscale, rows, cols) log-Gabor bank."""
     radius, theta = _filter_grids(rows, cols)
@@ -121,9 +121,29 @@ def _make_pc_filters(rows: int, cols: int, nscale: int = 4, norient: int = 4,
     return filters.astype(np.float32)
 
 
+def _noise_filter_constants(filters: np.ndarray):
+    """Per-orientation noise-estimation constants of phasecong2: energies of
+    the REAL PART of the spatial filters (the oriented filters are not
+    frequency-symmetric, so real(ifft2(F)) loses energy and sum(F^2)
+    [Parseval] would overestimate — phasecong2.m/piq use the spatial form).
+
+    Returns (em_n, est_sum_an2, est_sum_aiaj), each (norient,)."""
+    norient, nscale, rows, cols = filters.shape
+    em_n = (filters[:, 0].astype(np.float64) ** 2).sum(axis=(1, 2))
+    spatial = np.real(np.fft.ifft2(filters.astype(np.float64))) \
+        * math.sqrt(rows * cols)
+    est_sum_an2 = (spatial ** 2).sum(axis=(1, 2, 3))
+    est_sum_aiaj = np.zeros(norient)
+    for si in range(nscale):
+        for sj in range(si + 1, nscale):
+            est_sum_aiaj += (spatial[:, si] * spatial[:, sj]).sum(axis=(1, 2))
+    return (em_n.astype(np.float32), est_sum_an2.astype(np.float32),
+            est_sum_aiaj.astype(np.float32))
+
+
 def _phase_congruency(im: jnp.ndarray, filters: jnp.ndarray,
-                      nscale: int = 4, k: float = 2.0,
-                      mult: float = 2.0) -> jnp.ndarray:
+                      noise_consts, nscale: int = 4,
+                      k: float = 2.0) -> jnp.ndarray:
     """Kovesi phasecong2 (the variant embedded in FSIM.m) for one 2-D image."""
     eps = 1e-4
     imfft = jnp.fft.fft2(im)
@@ -146,29 +166,12 @@ def _phase_congruency(im: jnp.ndarray, filters: jnp.ndarray,
         axis=1,
     )  # (norient, H, W)
 
-    # noise threshold per orientation from the smallest-scale response
-    em_n = jnp.sum(filters[:, 0] ** 2, axis=(1, 2))  # (norient,)
-    h, w = im.shape
+    # noise threshold per orientation from the smallest-scale response;
+    # spatial-filter energy constants precomputed (numpy, trace time)
+    em_n, est_sum_an2, est_sum_aiaj = (jnp.asarray(c) for c in noise_consts)
     median_e2n = jnp.median(jnp.abs(eo[:, 0]) ** 2, axis=(1, 2))
     mean_e2n = -median_e2n / math.log(0.5)
     noise_power = mean_e2n / em_n
-
-    # ifftFilterArray energy sums: filters are real-even -> spatial filter
-    # energy = mean(filter^2); est noise energy per scale via filter overlaps
-    fft_energy = jnp.sum(filters ** 2, axis=(2, 3)) / (h * w)  # (norient, nscale)
-    est_sum_an2 = jnp.sum(fft_energy, axis=1) * (h * w)  # per orientation
-
-    # cross-scale terms
-    def cross_terms(o_filters):
-        acc = 0.0
-        for si in range(nscale):
-            for sj in range(si + 1, nscale):
-                acc += jnp.sum(o_filters[si] * o_filters[sj])
-        return acc
-
-    est_sum_aiaj = jnp.stack([
-        cross_terms(filters[o] ) for o in range(norient)
-    ]) / (h * w) * (h * w)
 
     est_noise_energy2 = 2 * noise_power * est_sum_an2 \
         + 4 * noise_power * est_sum_aiaj
@@ -190,10 +193,12 @@ def _similarity(a, b, t):
 def _fsim_pair(x: jnp.ndarray, y: jnp.ndarray, chromatic: bool,
                shape: tuple) -> jnp.ndarray:
     h, w = shape
-    filters = jnp.asarray(_make_pc_filters(h, w))
+    filters_np = _make_pc_filters(h, w)
+    noise_consts = _noise_filter_constants(filters_np)
+    filters = jnp.asarray(filters_np)
 
-    pc1 = _phase_congruency(x[..., 0], filters)
-    pc2 = _phase_congruency(y[..., 0], filters)
+    pc1 = _phase_congruency(x[..., 0], filters, noise_consts)
+    pc2 = _phase_congruency(y[..., 0], filters, noise_consts)
 
     g1x = _conv_same(x[None, ..., 0:1], _SCHARR)[0, ..., 0]
     g1y = _conv_same(x[None, ..., 0:1], _SCHARR.T)[0, ..., 0]
@@ -210,8 +215,10 @@ def _fsim_pair(x: jnp.ndarray, y: jnp.ndarray, chromatic: bool,
     if chromatic:
         s_i = _similarity(x[..., 1], y[..., 1], 200.0)
         s_q = _similarity(x[..., 2], y[..., 2], 200.0)
-        chroma = jnp.sign(s_i * s_q) * jnp.abs(s_i * s_q) ** 0.03
-        s_l = s_l * chroma
+        # piq: abs(S_I*S_Q)^lambda (FSIM.m takes real((.)^lambda), which is
+        # ~0.996*abs(.)^lambda for the rare negative products; we match piq,
+        # the implementation the reference harness actually calls)
+        s_l = s_l * jnp.abs(s_i * s_q) ** 0.03
     return jnp.sum(s_l * pcm) / jnp.sum(pcm)
 
 
@@ -228,19 +235,20 @@ def fsim(x: jnp.ndarray, y: jnp.ndarray, data_range: float = 1.0,
         x = jnp.repeat(x, 3, axis=-1)
         y = jnp.repeat(y, 3, axis=-1)
 
-    # downsample by F (FSIM.m: F x F mean filter 'same', stride-F subsample)
+    # downsample by F: piq uses an anchored FxF average pool (avg_pool2d),
+    # which equals FSIM.m's 'same'-conv + stride-F subsample for even F and
+    # differs by a 1px phase for odd F>1; we match piq (the implementation
+    # the reference harness calls, test.py:95-96)
     h, w = x.shape[1], x.shape[2]
     f = max(1, round(min(h, w) / 256))
     if f > 1:
-        kern = np.ones((f, f), np.float32) / (f * f)
-        chans = []
-        for img in (x, y):
-            cs = [
-                _conv_same(img[..., c:c + 1], kern)[:, ::f, ::f, :]
-                for c in range(3)
-            ]
-            chans.append(jnp.concatenate(cs, axis=-1))
-        x, y = chans
+        def pool(img):
+            img = img[:, : h // f * f, : w // f * f, :]
+            return lax.reduce_window(
+                img, 0.0, lax.add, (1, f, f, 1), (1, f, f, 1),
+                "VALID") / float(f * f)
+
+        x, y = pool(x), pool(y)
 
     shape = (x.shape[1], x.shape[2])
     scores = [

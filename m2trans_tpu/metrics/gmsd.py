@@ -3,7 +3,8 @@ piq.gmsd pipeline used by the reference's test harness (test.py:98-99):
 
   1. scale input by data_range to [0,1];
   2. RGB -> YIQ luminance;
-  3. 2x2 average-pool downsample (pad bottom/right by replication if odd);
+  3. 2x2 average-pool downsample (piq quirk: if either H or W is odd, BOTH
+     bottom and right are zero-padded by one);
   4. Prewitt gradients (/3), gradient magnitude;
   5. GMS map = (2 gx gy + c) / (gx^2 + gy^2 + c), c = 170/255^2;
   6. GMSD = population std of the map.
@@ -44,13 +45,16 @@ def gmsd(x: jnp.ndarray, y: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray
         x = jnp.einsum("bhwc,c->bhw", x, luma)[..., None]
         y = jnp.einsum("bhwc,c->bhw", y, luma)[..., None]
 
-    # pad to even H/W (replicate) then 2x2 mean pool
-    ph = x.shape[1] % 2
-    pw = x.shape[2] % 2
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        y = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    # 2x2 mean pool; piq pads BOTH bottom and right by one zero row/col if
+    # either dimension is odd (F.pad with a shared down_pad), then
+    # avg_pool2d drops any trailing odd row/col
+    pad = max(x.shape[1] % 2, x.shape[2] % 2)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad), (0, pad), (0, 0)))
     b, h, w, _ = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2]
+    y = y[:, : h // 2 * 2, : w // 2 * 2]
     x = x.reshape(b, h // 2, 2, w // 2, 2, 1).mean(axis=(2, 4))
     y = y.reshape(b, h // 2, 2, w // 2, 2, 1).mean(axis=(2, 4))
 

@@ -93,8 +93,52 @@ def _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, *,
     k_full = jnp.concatenate(
         [k_full[:, :, :c2] + relh[:, None, :], k_full[:, :, c2:]], axis=-1)
 
+    if _use_batched_blocks(c, nw):
+        out = _attend_batched(q_full, k_full, v_full, relw, block=block,
+                              halo=halo, wc=wc, precision=precision)
+    else:
+        out = _attend_serial(q_full, k_full, v_full, relw, block=block,
+                             halo=halo, wc=wc, precision=precision)
+    # synthesis: per level, split subbands and strided-write the pixel quad
+    # into the next (f32) buffer
+    for l in range(levels):
+        dst = iwt_bufs[l]
+        ll, hl, lh, hh = jnp.split(out, 4, axis=-1)
+        dst[0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
+        dst[0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
+        dst[1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
+        dst[1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
+        out = dst[:]
+    return out
+
+
+def _use_batched_blocks(c: int, nw: int) -> bool:
+    """Pick the per-band attention schedule. The serial per-block loop is a
+    latency chain (qk matmul -> softmax -> av matmul per block, ~0.5 us per
+    8x8 block on v5e); the batched schedule issues ALL qk matmuls, then one
+    wide softmax, then all av matmuls, so independent blocks pipeline on
+    the MXU instead of waiting on the VPU. Patch tensors are built with
+    aligned+overflow strided slicing (cheap VPU copies) — NOT the
+    gather-as-matmul trick, which was measured slower (NOTES_ROUND2.md)."""
+    if _FORCE_SCHEDULE is not None:
+        return _FORCE_SCHEDULE == "batched"
+    return nw > 1
+
+
+# A/B timing hook: None | "serial" | "batched" (env M2T_ATTN_SCHEDULE)
+import os as _os  # noqa: E402
+
+_FORCE_SCHEDULE = _os.environ.get("M2T_ATTN_SCHEDULE") or None
+
+
+def _attend_serial(q_full, k_full, v_full, relw, *, block, halo, wc,
+                   precision):
+    """One dependency chain per width block (original schedule)."""
+    win = block + 2 * halo
+    c = q_full.shape[-1]
+    c2 = c // 2
     outs = []
-    for j in range(nw):  # static unroll over width blocks
+    for j in range(wc // block):  # static unroll over width blocks
         q = q_full[:, j * block:(j + 1) * block, :].reshape(
             block * block, c)
         k = k_full[:, j * block:j * block + win, :]
@@ -113,18 +157,52 @@ def _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, *,
                     precision=precision)
         outs.append(o.reshape(block, block, c))
 
-    out = jnp.concatenate(outs, axis=1)  # (block, wc, C) coarse band
-    # synthesis: per level, split subbands and strided-write the pixel quad
-    # into the next (f32) buffer
-    for l in range(levels):
-        dst = iwt_bufs[l]
-        ll, hl, lh, hh = jnp.split(out, 4, axis=-1)
-        dst[0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
-        dst[0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
-        dst[1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
-        dst[1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
-        out = dst[:]
-    return out
+    return jnp.concatenate(outs, axis=1)  # (block, wc, C) coarse band
+
+
+def _window_patches(a, *, block, halo, wc):
+    """(win, wp, c) band -> (nw, win, win, c) per-block haloed windows via
+    one aligned and one block-shifted strided view (window = a block plus
+    2*halo overflow columns; zero-pad keeps the shifted view in range)."""
+    win = block + 2 * halo
+    nw = wc // block
+    wp = a.shape[1]
+    a = jnp.pad(a, ((0, 0), (0, (nw + 1) * block - wp), (0, 0)))
+    c = a.shape[-1]
+    aligned = a[:, :nw * block].reshape(win, nw, block, c)
+    shifted = a[:, block:(nw + 1) * block].reshape(win, nw, block, c)
+    pat = jnp.concatenate([aligned, shifted[:, :, :2 * halo]], axis=2)
+    return pat.transpose(1, 0, 2, 3)  # (nw, win, win, c)
+
+
+def _attend_batched(q_full, k_full, v_full, relw, *, block, halo, wc,
+                    precision):
+    """All-blocks-at-once schedule: batched qk dot -> one softmax ->
+    batched av dot."""
+    win = block + 2 * halo
+    c = q_full.shape[-1]
+    c2 = c // 2
+    nw = wc // block
+
+    kb = _window_patches(k_full, block=block, halo=halo, wc=wc)
+    kb = jnp.concatenate([kb[..., :c2], kb[..., c2:] + relw[None, None]],
+                         axis=-1).reshape(nw, win * win, c)
+    vb = _window_patches(v_full, block=block, halo=halo, wc=wc)
+    vb = vb.reshape(nw, win * win, c)
+    qb = q_full.reshape(block, nw, block, c).transpose(1, 0, 2, 3)
+    qb = qb.reshape(nw, block * block, c)
+
+    sim = jax.lax.dot_general(
+        qb, kb, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    sim = sim - jnp.max(sim, axis=-1, keepdims=True)
+    e = jnp.exp(sim)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        attn, vb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    o = o.reshape(nw, block, block, c).transpose(1, 0, 2, 3)
+    return o.reshape(block, wc, c)
 
 
 def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
