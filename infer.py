@@ -25,8 +25,10 @@ def main() -> None:
     ap.add_argument("--input", type=str, required=True,
                     help="image file or directory of frames")
     ap.add_argument("--output", type=str, default=None)
-    ap.add_argument("--mesh-space", type=int, default=1,
-                    help="spatial shards over the frame height")
+    ap.add_argument("--mesh-space", type=int, default=0,
+                    help="spatial shards over the frame height; 0 = auto "
+                         "(shard large frames when >1 device is visible), "
+                         "1 = force single-chip")
     ap.add_argument("--f32", action="store_true",
                     help="f32 parity numerics instead of bf16+Pallas")
     args = ap.parse_args()
@@ -43,14 +45,7 @@ def main() -> None:
     cfg = load_config(args.config, overrides={"model_path": args.model_path})
     params = load_params_any(cfg.model_path, cfg)
 
-    mesh = None
-    if args.mesh_space > 1:
-        from jax.sharding import Mesh
-
-        mesh = Mesh(np.array(jax.devices()[: args.mesh_space]), ("space",))
-
     policy = policy_from_config(cfg) if args.f32 else None
-    runner = StreamingSR(params, cfg, mesh=mesh, policy=policy)
 
     paths = ([os.path.join(args.input, f)
               for f in sorted(os.listdir(args.input))]
@@ -61,6 +56,23 @@ def main() -> None:
         frames.append(np.asarray(img, np.float32)[None] / 255.0)
     if not frames:
         raise SystemExit("no input frames found")
+
+    mesh = None
+    if args.mesh_space > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[: args.mesh_space]), ("space",))
+    elif args.mesh_space == 0:
+        from m2trans_tpu.parallel.spatial import auto_space_mesh
+
+        h, w = frames[0].shape[1], frames[0].shape[2]
+        mesh = auto_space_mesh(
+            h, w, cfg, policy or StreamingSR.default_policy())
+        if mesh is not None:
+            print(f"## auto spatial sharding: {mesh.shape['space']} shards "
+                  f"over H for {h}x{w} frames ##")
+
+    runner = StreamingSR(params, cfg, mesh=mesh, policy=policy)
 
     runner.warmup(frames[0].shape)
     if args.output:

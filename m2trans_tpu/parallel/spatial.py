@@ -30,7 +30,7 @@ tests/test_spatial.py. Composes with data parallelism over a 2-D
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -199,6 +199,23 @@ def spatial_sharded_forward(
             f"multiples of {mult}; pick H so that pad32(H) % {mult * n} == 0")
     x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
+    fwd = _build_sharded_fwd(mesh, _model_key(cfg), policy, batch_axis, n)
+    out = fwd(params, x)
+    return out[:, : h * cfg.scale, : w * cfg.scale, :]
+
+
+def _model_key(cfg: Config):
+    """The Config fields the sharded forward actually closes over (Config
+    itself holds lists and is unhashable)."""
+    return (cfg.scale, cfg.rgb_range, cfg.block_size, cfg.halo_size)
+
+
+@lru_cache(maxsize=None)
+def _build_sharded_fwd(mesh: Mesh, model_key, policy: ComputePolicy,
+                       batch_axis: Optional[str], n: int):
+    """Jitted shard_map forward, cached so repeated calls (eval loops,
+    streaming) re-trace only per (mesh, model, policy, shape)."""
+    scale, rgb_range, block, halo = model_key
     bspec = batch_axis  # None -> replicated batch
     in_spec = P(bspec, "space", None, None)
     out_spec = P(bspec, "space", None, None)
@@ -215,11 +232,68 @@ def spatial_sharded_forward(
         y = res
         for blk in prm["body"]:
             y = _cftm_sharded(blk, y, n=n, policy=policy,
-                              block=cfg.block_size, halo=cfg.halo_size)
+                              block=block, halo=halo)
         y = res + y
-        y = _tail_sharded(prm["tail"], y, scale=cfg.scale, n=n,
-                          policy=policy)
-        return jnp.clip(y.astype(jnp.float32), 0.0, cfg.rgb_range)
+        y = _tail_sharded(prm["tail"], y, scale=scale, n=n, policy=policy)
+        return jnp.clip(y.astype(jnp.float32), 0.0, rgb_range)
 
-    out = jax.jit(fwd)(params, x)
-    return out[:, : h * cfg.scale, : w * cfg.scale, :]
+    return jax.jit(fwd)
+
+
+def fused_gate_ok(w: int, n_feats: int) -> bool:
+    """True if every CFTM branch level fits the Pallas banded-kernel VMEM
+    gate at frame width ``w`` (the gate scales with W — bands span the full
+    width). Beyond it the branches fall back to the slower XLA composition."""
+    from m2trans_tpu.ops.pallas.halo_attn import (
+        _BANDED_VMEM_LIMIT,
+        _banded_vmem_bytes,
+    )
+
+    cb = n_feats // 4
+    for levels in (0, 1, 2):
+        c = cb * 4 ** levels
+        if _banded_vmem_bytes(w, cb, c, 8, 1, levels) > _BANDED_VMEM_LIMIT:
+            return False
+    return True
+
+
+# Frames at/above this pixel count are sharded even when the fused kernels
+# would still fit (compute division beats single-chip latency regardless).
+_AUTO_PX_THRESHOLD = 512 * 512
+
+
+def auto_space_mesh(h: int, w: int, cfg: Config,
+                    policy: Optional[ComputePolicy] = None,
+                    devices=None) -> Optional[Mesh]:
+    """Pick a 'space' mesh for a frame that is too large for the
+    single-chip fast path, or None to stay single-chip.
+
+    Engages only in bf16 mode (f32 parity mode stays exactly
+    single-device-reproducible) when >1 device is visible and the frame
+    either exceeds the fused-kernel VMEM gate or is large outright. Splits
+    H over the largest device count that divides the padded height into
+    32-row units — each shard carries 1/n of the compute, so large-frame
+    p50 latency drops ~n-fold even where the per-shard width still takes
+    the XLA branch path (the gate scales with W, not H)."""
+    if policy is None:
+        policy = policy_from_config(cfg)
+    if policy.dtype != jnp.bfloat16:
+        return None
+    import numpy as _np
+
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < 2:
+        return None
+    big = (policy.use_pallas and not fused_gate_ok(w, cfg.n_feats)) \
+        or h * w >= _AUTO_PX_THRESHOLD
+    if not big:
+        return None
+    mult = cfg.pad_multiple
+    units = (h + (mult - h % mult) % mult) // mult  # padded 32-row units
+    n = 1
+    for cand in range(2, min(len(devices), units) + 1):
+        if units % cand == 0:
+            n = cand
+    if n < 2:
+        return None
+    return Mesh(_np.asarray(devices[:n]), ("space",))

@@ -35,14 +35,18 @@ class StreamingSR:
       depth: pipeline depth (in-flight frames).
     """
 
+    @staticmethod
+    def default_policy() -> ComputePolicy:
+        return ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                             use_pallas=True)
+
     def __init__(self, params, cfg: Config, *, mesh=None,
                  policy: Optional[ComputePolicy] = None, depth: int = 2):
         self.cfg = cfg
         self.mesh = mesh
         self.depth = max(1, depth)
         if policy is None:
-            policy = ComputePolicy(dtype=jnp.bfloat16, precision=None,
-                                   use_pallas=True)
+            policy = self.default_policy()
         self.policy = policy
         self.params = params
 

@@ -28,14 +28,34 @@ from m2trans_tpu.metrics import fsim, gmsd, sr_eval_metrics
 from m2trans_tpu.models import ComputePolicy, m2trans_apply, policy_from_config
 
 
-def make_forward_fn(cfg: Config, policy: Optional[ComputePolicy] = None):
-    """Returns a jitted (params, lr_NHWC) -> sr_NHWC forward."""
+def make_forward_fn(cfg: Config, policy: Optional[ComputePolicy] = None,
+                    auto_space: bool = True):
+    """Returns a (params, lr_NHWC) -> sr_NHWC forward (jit-cached per LR
+    shape). With ``auto_space`` (default), bf16-mode frames too large for
+    the single-chip fast path are automatically H-sharded over a 'space'
+    mesh when more than one device is visible (north-star config 5's
+    large-frame payoff); f32 parity mode always stays single-device."""
     if policy is None:
         policy = policy_from_config(cfg)
 
     @jax.jit
-    def fwd(params, lr):
+    def fwd_single(params, lr):
         return m2trans_apply(params, lr, cfg, policy=policy)
+
+    if not auto_space:
+        return fwd_single
+
+    def fwd(params, lr):
+        from m2trans_tpu.parallel.spatial import (
+            auto_space_mesh,
+            spatial_sharded_forward,
+        )
+
+        mesh = auto_space_mesh(lr.shape[1], lr.shape[2], cfg, policy)
+        if mesh is None:
+            return fwd_single(params, lr)
+        return spatial_sharded_forward(params, lr, cfg, mesh=mesh,
+                                       policy=policy)
 
     return fwd
 

@@ -86,3 +86,69 @@ def test_sharded_bf16_pallas_path_composes(rng):
                                 policy=pol), dtype=np.float32)
     assert got.shape == want.shape
     assert np.abs(got - want).mean() < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# automatic large-frame dispatch (VERDICT r1 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_space_mesh_selection():
+    from m2trans_tpu.models.m2trans import ComputePolicy
+    from m2trans_tpu.parallel import spatial
+
+    cfg = Config(scale=4, n_feats=64, n_blocks=8)
+    bf16 = ComputePolicy(dtype=jnp.bfloat16, precision=None, use_pallas=True)
+    devs = jax.devices()
+
+    # f32 parity mode never auto-shards
+    assert spatial.auto_space_mesh(512, 512, cfg, ComputePolicy(),
+                                   devices=devs) is None
+    # small frames stay single-chip (96x96 fits the fused gate)
+    assert spatial.auto_space_mesh(96, 96, cfg, bf16, devices=devs) is None
+    # one visible device -> never shard
+    assert spatial.auto_space_mesh(512, 512, cfg, bf16,
+                                   devices=devs[:1]) is None
+    # a 512^2 frame exceeds the fused gate -> largest n dividing 16 units
+    mesh = spatial.auto_space_mesh(512, 512, cfg, bf16, devices=devs)
+    assert mesh is not None and mesh.shape["space"] == min(len(devs), 16)
+    # heights that don't split evenly pick a divisor (units=pad32(300)/32=10)
+    mesh = spatial.auto_space_mesh(300, 512, cfg, bf16, devices=devs)
+    assert mesh is not None and mesh.shape["space"] in (2, 5, 10)
+
+
+def test_make_forward_fn_auto_dispatch_matches_single(rng, monkeypatch):
+    """End-to-end: evaluate.make_forward_fn must route big bf16 frames
+    through the sharded forward and produce the single-device result."""
+    from m2trans_tpu.models.m2trans import ComputePolicy
+    from m2trans_tpu.parallel import spatial
+    from m2trans_tpu.train.evaluate import make_forward_fn
+
+    monkeypatch.setattr(spatial, "_AUTO_PX_THRESHOLD", 64 * 64)
+    calls = []
+    real_sharded = spatial.spatial_sharded_forward
+    monkeypatch.setattr(
+        spatial, "spatial_sharded_forward",
+        lambda *a, **k: calls.append(k["mesh"].shape["space"])
+        or real_sharded(*a, **k))
+
+    cfg = Config(scale=2, n_feats=8, n_blocks=1)
+    policy = ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                           use_pallas=False)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+
+    fwd = make_forward_fn(cfg, policy=policy, auto_space=True)
+    got = np.asarray(fwd(params, x))
+    assert calls == [2], "64x64 frame above the patched threshold must shard"
+    want = np.asarray(m2trans_apply(params, x, cfg, policy=policy))
+    assert got.shape == want.shape == (1, 128, 128, 3)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-2)
+    # and small frames below the threshold stay on the single-chip path
+    small = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    s_got = np.asarray(fwd(params, small))
+    assert calls == [2], "32x32 frame must NOT shard"
+    s_want = np.asarray(m2trans_apply(params, small, cfg, policy=policy))
+    np.testing.assert_allclose(s_got.astype(np.float32),
+                               s_want.astype(np.float32), atol=2e-2)
