@@ -324,3 +324,26 @@ def m2trans_apply(params: Params, x: jnp.ndarray, cfg: Config,
     out_dt = jnp.float32 if policy.dtype == jnp.float32 else policy.dtype
     y = jnp.clip(y.astype(out_dt), 0.0, cfg.rgb_range)
     return y[:, : h * cfg.scale, : w * cfg.scale, :]
+
+
+# Largest batch whose (B, H, W, n_feats) body intermediates stay scoped-
+# VMEM-resident at the flagship 96x96 shape. Beyond it XLA spills every
+# fusion boundary to HBM through chunked staging copies and the step goes
+# copy-bound (measured v5e, batch 32: 82 ms/step of copy-start vs 4 ms at
+# batch 8 — the round-1 "batch scaling regression", NOTES_ROUND2.md).
+MICRO_BATCH = 8
+
+
+def m2trans_apply_microbatched(
+        params: Params, x: jnp.ndarray, cfg: Config,
+        policy: Optional[ComputePolicy] = None,
+        micro_batch: int = MICRO_BATCH) -> jnp.ndarray:
+    """m2trans_apply over micro-batches of ``micro_batch`` via lax.map:
+    large serving batches keep batch-8's per-image step time instead of
+    regressing (throughput becomes flat, not decreasing, in batch)."""
+    b = x.shape[0]
+    if b <= micro_batch or b % micro_batch:
+        return m2trans_apply(params, x, cfg, policy)
+    xs = x.reshape((b // micro_batch, micro_batch) + x.shape[1:])
+    ys = jax.lax.map(lambda xc: m2trans_apply(params, xc, cfg, policy), xs)
+    return ys.reshape((b,) + ys.shape[2:])

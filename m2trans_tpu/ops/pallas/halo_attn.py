@@ -47,15 +47,19 @@ from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
 
 def _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, *,
                block: int, halo: int, wc: int, levels: int, precision):
-    """Process one overlapping full-res band: DWT^L -> qkv -> per-block
-    attention -> IWT^L. ``z``: (win*2^L, Wp_full, Cb) band value (bf16).
-    Returns the (block*2^L, W_full, Cb) output band value (f32).
+    """Process a group of overlapping full-res bands: DWT^L -> qkv ->
+    per-block attention -> IWT^L. ``z``: (G, win*2^L, Wp_full, Cb) band
+    values (bf16), one per batch image in the group — folding G images
+    into one program amortizes Mosaic op-issue latency over G-wide ops
+    (the per-band op stream, not FLOPs, bounds the small-channel
+    branches). Returns the (G, block*2^L, W_full, Cb) output bands (f32).
 
     scratch: f32 VMEM buffers for the wavelet levels — Mosaic only supports
     strided ref loads/stores on 32-bit data, so each DWT level
     strided-reads quads from an f32 scratch and each IWT level
     strided-writes into one.
     """
+    g = z.shape[0]
     win = block + 2 * halo
     wp = wc + 2 * halo  # coarse padded width
     nw = wc // block
@@ -66,10 +70,10 @@ def _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, *,
         dwt_bufs[0][:] = z.astype(jnp.float32)
         for l in range(levels):
             src, dst = dwt_bufs[l], dwt_bufs[l + 1]
-            a = src[0::2, 0::2, :]
-            b = src[1::2, 0::2, :]
-            cc = src[0::2, 1::2, :]
-            d = src[1::2, 1::2, :]
+            a = src[:, 0::2, 0::2, :]
+            b = src[:, 1::2, 0::2, :]
+            cc = src[:, 0::2, 1::2, :]
+            d = src[:, 1::2, 1::2, :]
             dst[:] = jnp.concatenate(
                 [(a + b + cc + d), (-a - b + cc + d), (-a + b - cc + d),
                  (a - b - cc + d)], axis=-1) * 0.5
@@ -77,37 +81,40 @@ def _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, *,
 
     c = z.shape[-1]  # coarse channels
     c2 = c // 2
-    zf = z.reshape(win * wp, c)
+    zf = z.reshape(g * win * wp, c)
 
     k_full = jnp.dot(zf, wk_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision).reshape(win, wp, c)
+                     precision=precision).reshape(g, win, wp, c)
     v_full = jnp.dot(zf, wv_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision).reshape(win, wp, c)
-    zq = z[halo:halo + block, halo:halo + wc, :].reshape(block * wc, c)
+                     precision=precision).reshape(g, win, wp, c)
+    zq = z[:, halo:halo + block, halo:halo + wc, :].reshape(
+        g * block * wc, c)
     q_full = jnp.dot(zq, wq_ref[:], preferred_element_type=jnp.float32,
                      precision=precision)
-    q_full = q_full.reshape(block, wc, c) * (c ** -0.5)
+    q_full = q_full.reshape(g, block, wc, c) * (c ** -0.5)
 
     relh = relh_ref[:].astype(jnp.float32)
     relw = relw_ref[:].astype(jnp.float32)
     k_full = jnp.concatenate(
-        [k_full[:, :, :c2] + relh[:, None, :], k_full[:, :, c2:]], axis=-1)
+        [k_full[..., :c2] + relh[None, :, None, :], k_full[..., c2:]],
+        axis=-1)
 
-    if _use_batched_blocks(c, nw):
+    if _use_batched_blocks(c, nw) or g > 1:
         out = _attend_batched(q_full, k_full, v_full, relw, block=block,
                               halo=halo, wc=wc, precision=precision)
     else:
-        out = _attend_serial(q_full, k_full, v_full, relw, block=block,
-                             halo=halo, wc=wc, precision=precision)
+        out = _attend_serial(q_full[0], k_full[0], v_full[0], relw,
+                             block=block, halo=halo, wc=wc,
+                             precision=precision)[None]
     # synthesis: per level, split subbands and strided-write the pixel quad
     # into the next (f32) buffer
     for l in range(levels):
         dst = iwt_bufs[l]
         ll, hl, lh, hh = jnp.split(out, 4, axis=-1)
-        dst[0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
-        dst[0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
-        dst[1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
-        dst[1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
+        dst[:, 0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
+        dst[:, 0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
+        dst[:, 1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
+        dst[:, 1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
         out = dst[:]
     return out
 
@@ -161,36 +168,38 @@ def _attend_serial(q_full, k_full, v_full, relw, *, block, halo, wc,
 
 
 def _window_patches(a, *, block, halo, wc):
-    """(win, wp, c) band -> (nw, win, win, c) per-block haloed windows via
-    one aligned and one block-shifted strided view (window = a block plus
-    2*halo overflow columns; zero-pad keeps the shifted view in range)."""
-    win = block + 2 * halo
+    """(G, win, wp, c) bands -> (G, nw, win, win, c) per-block haloed
+    windows via one aligned and one block-shifted strided view (window = a
+    block plus 2*halo overflow columns; zero-pad keeps the shifted view in
+    range)."""
+    g, win = a.shape[0], a.shape[1]
     nw = wc // block
-    wp = a.shape[1]
-    a = jnp.pad(a, ((0, 0), (0, (nw + 1) * block - wp), (0, 0)))
+    wp = a.shape[2]
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, (nw + 1) * block - wp), (0, 0)))
     c = a.shape[-1]
-    aligned = a[:, :nw * block].reshape(win, nw, block, c)
-    shifted = a[:, block:(nw + 1) * block].reshape(win, nw, block, c)
-    pat = jnp.concatenate([aligned, shifted[:, :, :2 * halo]], axis=2)
-    return pat.transpose(1, 0, 2, 3)  # (nw, win, win, c)
+    aligned = a[:, :, :nw * block].reshape(g, win, nw, block, c)
+    shifted = a[:, :, block:(nw + 1) * block].reshape(g, win, nw, block, c)
+    pat = jnp.concatenate([aligned, shifted[:, :, :, :2 * halo]], axis=3)
+    return pat.transpose(0, 2, 1, 3, 4)  # (G, nw, win, win, c)
 
 
 def _attend_batched(q_full, k_full, v_full, relw, *, block, halo, wc,
                     precision):
-    """All-blocks-at-once schedule: batched qk dot -> one softmax ->
-    batched av dot."""
+    """All-blocks-at-once schedule over the whole group: batched qk dot ->
+    one wide softmax -> batched av dot (dot batch = G*nw)."""
     win = block + 2 * halo
-    c = q_full.shape[-1]
+    g, c = q_full.shape[0], q_full.shape[-1]
     c2 = c // 2
     nw = wc // block
 
     kb = _window_patches(k_full, block=block, halo=halo, wc=wc)
-    kb = jnp.concatenate([kb[..., :c2], kb[..., c2:] + relw[None, None]],
-                         axis=-1).reshape(nw, win * win, c)
+    kb = jnp.concatenate(
+        [kb[..., :c2], kb[..., c2:] + relw[None, None, None]],
+        axis=-1).reshape(g * nw, win * win, c)
     vb = _window_patches(v_full, block=block, halo=halo, wc=wc)
-    vb = vb.reshape(nw, win * win, c)
-    qb = q_full.reshape(block, nw, block, c).transpose(1, 0, 2, 3)
-    qb = qb.reshape(nw, block * block, c)
+    vb = vb.reshape(g * nw, win * win, c)
+    qb = q_full.reshape(g, block, nw, block, c).transpose(0, 2, 1, 3, 4)
+    qb = qb.reshape(g * nw, block * block, c)
 
     sim = jax.lax.dot_general(
         qb, kb, (((2,), (2,)), ((0,), (0,))),
@@ -201,22 +210,22 @@ def _attend_batched(q_full, k_full, v_full, relw, *, block, halo, wc,
     o = jax.lax.dot_general(
         attn, vb, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision)
-    o = o.reshape(nw, block, block, c).transpose(1, 0, 2, 3)
-    return o.reshape(block, wc, c)
+    o = o.reshape(g, nw, block, block, c).transpose(0, 2, 1, 3, 4)
+    return o.reshape(g, block, wc, c)
 
 
 def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
             out_ref, *scratch, block: int, halo: int, wc: int, levels: int,
             precision):
-    """Banded variant: one (batch, coarse-row-band) grid step; the
-    overlapping band is assembled from two blocked views (used for frames
-    too large to keep resident in VMEM)."""
+    """Banded variant: one (batch-group, coarse-row-band) grid step; each
+    group's overlapping band is assembled from two blocked views (used for
+    frames too large to keep resident in VMEM)."""
     s = 2 ** levels
-    z = jnp.concatenate([xa_ref[0], xb_ref[0, : 2 * halo * s]], axis=0)
+    z = jnp.concatenate([xa_ref[:], xb_ref[:, : 2 * halo * s]], axis=1)
     out = _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
                      block=block, halo=halo, wc=wc, levels=levels,
                      precision=precision)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _tile_kernel(xaa_ref, xab_ref, xba_ref, xbb_ref, wq_ref, wk_ref, wv_ref,
@@ -231,10 +240,10 @@ def _tile_kernel(xaa_ref, xab_ref, xba_ref, xbb_ref, wq_ref, wk_ref, wv_ref,
     top = jnp.concatenate([xaa_ref[0], xab_ref[0, :, :hh]], axis=1)
     bot = jnp.concatenate([xba_ref[0, :hh], xbb_ref[0, :hh, :hh]], axis=1)
     z = jnp.concatenate([top, bot], axis=0)
-    out = _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
-                     block=block, halo=halo, wc=wc, levels=levels,
+    out = _band_body(z[None], scratch, wq_ref, wk_ref, wv_ref, relh_ref,
+                     relw_ref, block=block, halo=halo, wc=wc, levels=levels,
                      precision=precision)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = out[0].astype(out_ref.dtype)
 
 
 def _multiband_kernel(x_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
@@ -249,24 +258,24 @@ def _multiband_kernel(x_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
     step_rows = block * s
     for i in range(nh):
         z = x_ref[0, i * step_rows: i * step_rows + band_rows]
-        out = _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref,
+        out = _band_body(z[None], scratch, wq_ref, wk_ref, wv_ref, relh_ref,
                          relw_ref, block=block, halo=halo, wc=wc,
                          levels=levels, precision=precision)
-        out_ref[0, i * step_rows: (i + 1) * step_rows] = out.astype(
+        out_ref[0, i * step_rows: (i + 1) * step_rows] = out[0].astype(
             out_ref.dtype)
 
 
-def _branch_scratch_shapes(wp_full, wc, cb, c, block, halo, levels):
-    """Per-band f32 wavelet scratch buffers (shared across band steps)."""
+def _branch_scratch_shapes(wp_full, wc, cb, c, block, halo, levels, g=1):
+    """Per-band-group f32 wavelet scratch buffers (shared across steps)."""
     shapes = []
     if levels:
         rows0 = (block + 2 * halo) * 2 ** levels
         for l in range(levels + 1):
             shapes.append(pltpu.VMEM(
-                (rows0 >> l, wp_full >> l, cb * 4 ** l), jnp.float32))
+                (g, rows0 >> l, wp_full >> l, cb * 4 ** l), jnp.float32))
         for l in range(levels):
             shapes.append(pltpu.VMEM(
-                (block << (l + 1), wc << (l + 1), c // 4 ** (l + 1)),
+                (g, block << (l + 1), wc << (l + 1), c // 4 ** (l + 1)),
                 jnp.float32))
     return shapes
 
@@ -351,23 +360,30 @@ def _halo_attention_whole_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
     )(xp, wq, wk, wv, rel_h, rel_w)
 
 
-def _banded_vmem_bytes(w, cb, c, block, halo, levels):
+def _banded_vmem_bytes(w, cb, c, block, halo, levels, g=1):
     """Lane-padding-aware per-band VMEM estimate for the banded kernel
     (input/output double-buffered blocks + the f32 wavelet scratches +
-    slack for live band values). Everything scales linearly with W."""
+    slack for live band values), for a batch group of ``g`` images per
+    program. Everything scales linearly with W (and ~linearly with g)."""
     s = 2 ** levels
+    win = block + 2 * halo
     wp_full = w + 2 * halo * s
     blk_full = block * s
-    rows0 = (block + 2 * halo) * s
-    total = 2 * 2 * 2 * blk_full * wp_full * _lanes(cb)  # 2 views, 2 bufs
-    total += 2 * 2 * blk_full * w * _lanes(cb)  # out block, 2 bufs
+    rows0 = win * s
+    wc = w // s
+    nw = wc // block
+    total = g * 2 * 2 * 2 * blk_full * wp_full * _lanes(cb)  # 2 views x 2 bufs
+    total += g * 2 * 2 * blk_full * w * _lanes(cb)  # out block, 2 bufs
     for l in range(levels + 1):
-        total += 4 * (rows0 >> l) * (wp_full >> l) * _lanes(cb * 4 ** l)
+        total += g * 4 * (rows0 >> l) * (wp_full >> l) * _lanes(cb * 4 ** l)
     for l in range(levels):
-        total += 4 * (block << (l + 1)) * ((w // s) << (l + 1)) * _lanes(
+        total += g * 4 * (block << (l + 1)) * (wc << (l + 1)) * _lanes(
             c // 4 ** (l + 1))
     # live values: k/v/q bands (f32 accum) + per-block logits
-    total += 4 * 4 * rows0 // s * (w // s + 2 * halo) * _lanes(c)
+    total += g * 4 * 4 * win * (wc + 2 * halo) * _lanes(c)
+    # batched-schedule patch tensors (k/v windows, q blocks, f32) + logits
+    total += g * nw * 4 * (2 * win * win + block * block) * _lanes(c)
+    total += g * nw * 4 * 2 * block * block * _lanes(win * win)
     return total
 
 
@@ -456,6 +472,26 @@ def _halo_attention_tiled_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
     return out[:, :, :w, :]
 
 
+# Per-level VMEM budgets for batch grouping, calibrated on v5e at the
+# flagship w=96 shapes (the estimator's absolute scale is ~2x conservative
+# and level-dependent): L=0 runs g=4 2.8x faster than g=1 (est 24.5 MB,
+# compiles and runs; g=8 at est 48.9 MB OOMs the remote compiler); L=1
+# measured no win from g=2 and L=2 g=2 (est 23.9 MB) OOMs — both stay g=1.
+_GROUP_BUDGET = {0: 25e6, 1: 7e6, 2: 12e6}
+
+
+def _pick_group(bsz: int, w, cb, c, block, halo, levels) -> int:
+    """Largest batch group per program that divides the batch and fits the
+    per-level calibrated budget (>=1; g=1 is the round-1 per-image grid)."""
+    budget = _GROUP_BUDGET.get(levels, 0.0)
+    g = 1
+    for cand in (2, 4, 8, 16):
+        if bsz % cand == 0 and _banded_vmem_bytes(
+                w, cb, c, block, halo, levels, cand) <= budget:
+            g = cand
+    return g
+
+
 def _halo_attention_banded_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
                                 levels, interpret, precision=None):
     bsz, h, w, cb = x.shape
@@ -467,6 +503,7 @@ def _halo_attention_banded_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
 
     nh = h // (block * s)
     nw = wc // block
+    gb = _pick_group(bsz, w, cb, c, block, halo, levels)
     # zero-pad at full resolution: halo*2^L on the left/right of W; the
     # same on top of H, and enough at the bottom to make padded H a whole
     # number of (nh + 1) full-res row blocks so the i+1 view is in range
@@ -480,17 +517,17 @@ def _halo_attention_banded_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
                                levels=levels, precision=precision)
 
     scratch_shapes = _branch_scratch_shapes(wp_full, wc, cb, c, block, halo,
-                                            levels)
+                                            levels, gb)
     flops_per_band = (
         2 * win * (wc + 2 * halo) * c * 2 * c
         + 2 * block * wc * c * c
         + nw * (2 * block * block * win * win * c * 2))
     band_spec = lambda off: pl.BlockSpec(  # noqa: E731
-        (1, blk_full, wp_full, cb), lambda b, i, o=off: (b, i + o, 0, 0),
+        (gb, blk_full, wp_full, cb), lambda b, i, o=off: (b, i + o, 0, 0),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(bsz, nh),
+        grid=(bsz // gb, nh),
         in_specs=[
             band_spec(0),
             band_spec(1),
@@ -505,7 +542,7 @@ def _halo_attention_banded_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
             pl.BlockSpec((win, c // 2), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk_full, w, cb),
+        out_specs=pl.BlockSpec((gb, blk_full, w, cb),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, cb), x.dtype),

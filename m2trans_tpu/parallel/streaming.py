@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from m2trans_tpu.config import Config
-from m2trans_tpu.models import m2trans_apply
+from m2trans_tpu.models import m2trans_apply_microbatched
 from m2trans_tpu.models.m2trans import ComputePolicy
 
 
@@ -58,7 +58,7 @@ class StreamingSR:
                                                policy=policy)
         else:
             def fwd(p, x):
-                return m2trans_apply(p, x, cfg, policy=policy)
+                return m2trans_apply_microbatched(p, x, cfg, policy=policy)
 
         self._fwd = jax.jit(fwd)
 

@@ -184,6 +184,20 @@ class Trainer:
                 self.captions = [line.strip() for line in f.readlines()]
 
     def _put_batch(self, lr, hr):
+        if self.batch_sharding is not None and jax.process_count() > 1:
+            # Multi-host DP: every host's loader yields the same
+            # deterministic global batch (batch-index-derived RNG); each
+            # host materializes only its slice and contributes it to the
+            # global array. Decode-and-discard of the non-local slice is
+            # accepted at this model's data rates (SURVEY.md §2.5).
+            pc, pi = jax.process_count(), jax.process_index()
+            shard = lr.shape[0] // pc
+            lo = pi * shard
+            lr = jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(lr[lo:lo + shard]))
+            hr = jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(hr[lo:lo + shard]))
+            return lr, hr
         lr = jnp.asarray(lr)
         hr = jnp.asarray(hr)
         if self.batch_sharding is not None:

@@ -119,3 +119,23 @@ def test_colors_1_semantic_loss(rng):
     loss = semantic_loss(mp, mcfg, sr, hr, ids, mask, jax.random.PRNGKey(1),
                          n_patches=2, clip_size=56)
     assert float(loss) > 0
+
+
+def test_microbatched_apply_matches_plain(rng):
+    """lax.map micro-batching (the batch-scaling fix, NOTES_ROUND2) must
+    reproduce the plain forward: instance norm is per-sample, so chunking
+    the batch cannot change any value."""
+    from m2trans_tpu.models import m2trans_apply_microbatched
+
+    cfg = Config(scale=2, n_feats=8, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+    want = np.asarray(m2trans_apply(params, x, cfg))
+    got = np.asarray(jax.jit(
+        lambda p, z: m2trans_apply_microbatched(p, z, cfg, micro_batch=2)
+    )(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # non-divisible and small batches fall through to the plain forward
+    got3 = np.asarray(m2trans_apply_microbatched(params, x[:3], cfg,
+                                                 micro_batch=2))
+    np.testing.assert_allclose(got3, want[:3], atol=1e-6)
