@@ -265,6 +265,17 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
     return ff + x
 
 
+def _tail_band_fits(w: int, scale: int, nf: int,
+                    limit: float = 13e6) -> bool:
+    """VMEM estimate for the fused band tail: the f32 phase band + stage
+    transient + conv windows dominate and all scale linearly with W."""
+    cp = scale * scale * nf
+    band = 10 * (w + 2) * cp * 4  # f32 phase band (ph; mid freed into it)
+    stage = 10 * w * cp * 4       # f32 stage transient
+    win = 8 * w * cp * 2          # bf16 conv window
+    return band + stage + win + 3e6 < limit
+
+
 def _conv_ps_gelu(x, w, b, r, kw):
     """1x1 conv -> PixelShuffle(r) -> GELU, computed as conv (with output
     channels permuted into depth-to-space order) -> GELU -> fast shuffle.
@@ -277,16 +288,23 @@ def _conv_ps_gelu(x, w, b, r, kw):
 
 
 def tail_apply(p: Params, x: jnp.ndarray, *, scale: int,
-               policy: ComputePolicy) -> jnp.ndarray:
+               policy: ComputePolicy, rgb_range: float = 1.0) -> jnp.ndarray:
     """Pixel-shuffle upsampling tail (reference :40-56). x4 = two x2 stages
     of [1x1 conv -> PixelShuffle(2) -> GELU], then 3x3 reflect conv to RGB;
     x2/x3 = one [1x1 conv -> PixelShuffle(s) -> GELU] stage.
 
-    bf16 mode runs the phase-plane formulation (ops/tail_phase.py): the
-    whole tail in LR space as dense matmuls + one block-sparse LR-grid
-    conv, assembling HR pixels once at the end. f32 parity mode keeps the
+    bf16 mode runs the phase-plane formulation: with use_pallas, the fused
+    band kernel (ops/pallas/tail_band.py — no HBM phase tensor); otherwise
+    the XLA composition (ops/tail_phase.py). f32 parity mode keeps the
     conv->shuffle composition (bit-stable against the golden files)."""
     if policy.dtype == jnp.bfloat16:
+        if policy.use_pallas and _tail_band_fits(x.shape[2], scale,
+                                                 x.shape[-1]):
+            from m2trans_tpu.ops.pallas.tail_band import tail_band_apply
+
+            return tail_band_apply(p, x, scale=scale, rgb_range=rgb_range,
+                                   dtype=policy.dtype,
+                                   precision=policy.precision)
         from m2trans_tpu.ops.tail_phase import tail_phase_apply
 
         return tail_phase_apply(p, x, scale=scale, dtype=policy.dtype,
@@ -317,7 +335,8 @@ def m2trans_apply(params: Params, x: jnp.ndarray, cfg: Config,
         y = cftm_apply(blk, y, policy=policy, block=cfg.block_size,
                        halo=cfg.halo_size)
     y = res + y
-    y = tail_apply(params["tail"], y, scale=cfg.scale, policy=policy)
+    y = tail_apply(params["tail"], y, scale=cfg.scale, policy=policy,
+                   rgb_range=cfg.rgb_range)
     # clamp (idempotent when the fused tail already clamped); keep bf16
     # outputs in bf16 mode — the f32 output conversion alone cost ~2 ms
     # per step in profiling

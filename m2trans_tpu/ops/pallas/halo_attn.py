@@ -83,27 +83,26 @@ def _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, *,
     c2 = c // 2
     zf = z.reshape(g * win * wp, c)
 
-    k_full = jnp.dot(zf, wk_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision).reshape(g, win, wp, c)
-    v_full = jnp.dot(zf, wv_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision).reshape(g, win, wp, c)
-    zq = z[:, halo:halo + block, halo:halo + wc, :].reshape(
-        g * block * wc, c)
-    q_full = jnp.dot(zq, wq_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision)
-    q_full = q_full.reshape(g, block, wc, c) * (c ** -0.5)
-
+    # ONE fused qkv projection: three separate (.., c)@(c, c) dots cost
+    # 3x the M-passes at the same K; measured 0.23 -> ~0.08 ms/call for
+    # branch1 (scripts/dissect_branch.py ablation)
+    wqkv = jnp.concatenate([wq_ref[:], wk_ref[:], wv_ref[:]], axis=1)
+    qkv = jnp.dot(zf, wqkv, preferred_element_type=jnp.float32,
+                  precision=precision).reshape(g, win, wp, 3 * c)
+    q_full = qkv[:, halo:halo + block, halo:halo + wc, :c] * (c ** -0.5)
+    # kv kept fused: one window-patch pass serves both k and v
     relh = relh_ref[:].astype(jnp.float32)
     relw = relw_ref[:].astype(jnp.float32)
-    k_full = jnp.concatenate(
-        [k_full[..., :c2] + relh[None, :, None, :], k_full[..., c2:]],
+    kv_full = jnp.concatenate(
+        [qkv[..., c:c + c2] + relh[None, :, None, :], qkv[..., c + c2:]],
         axis=-1)
 
     if _use_batched_blocks(c, nw) or g > 1:
-        out = _attend_batched(q_full, k_full, v_full, relw, block=block,
+        out = _attend_batched(q_full, kv_full, relw, block=block,
                               halo=halo, wc=wc, precision=precision)
     else:
-        out = _attend_serial(q_full[0], k_full[0], v_full[0], relw,
+        out = _attend_serial(q_full[0], kv_full[0, ..., :c],
+                             kv_full[0, ..., c:], relw,
                              block=block, halo=halo, wc=wc,
                              precision=precision)[None]
     # synthesis: per level, split subbands and strided-write the pixel quad
@@ -183,21 +182,21 @@ def _window_patches(a, *, block, halo, wc):
     return pat.transpose(0, 2, 1, 3, 4)  # (G, nw, win, win, c)
 
 
-def _attend_batched(q_full, k_full, v_full, relw, *, block, halo, wc,
+def _attend_batched(q_full, kv_full, relw, *, block, halo, wc,
                     precision):
-    """All-blocks-at-once schedule over the whole group: batched qk dot ->
-    one wide softmax -> batched av dot (dot batch = G*nw)."""
+    """All-blocks-at-once schedule over the whole group: one window-patch
+    pass on the fused kv tensor, batched qk dot -> one wide softmax ->
+    batched av dot (dot batch = G*nw)."""
     win = block + 2 * halo
     g, c = q_full.shape[0], q_full.shape[-1]
     c2 = c // 2
     nw = wc // block
 
-    kb = _window_patches(k_full, block=block, halo=halo, wc=wc)
+    kvb = _window_patches(kv_full, block=block, halo=halo, wc=wc)
     kb = jnp.concatenate(
-        [kb[..., :c2], kb[..., c2:] + relw[None, None, None]],
+        [kvb[..., :c2], kvb[..., c2:c] + relw[None, None, None]],
         axis=-1).reshape(g * nw, win * win, c)
-    vb = _window_patches(v_full, block=block, halo=halo, wc=wc)
-    vb = vb.reshape(g * nw, win * win, c)
+    vb = kvb[..., c:].reshape(g * nw, win * win, c)
     qb = q_full.reshape(g, block, nw, block, c).transpose(0, 2, 1, 3, 4)
     qb = qb.reshape(g * nw, block * block, c)
 

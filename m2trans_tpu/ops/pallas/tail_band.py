@@ -1,0 +1,244 @@
+"""Fused phase-plane upsampling tail — Pallas TPU band kernel.
+
+Computes the whole reference tail (models/M2Trans_network.py:40-56 —
+1x1-conv/PixelShuffle/GELU stage(s) then the final 3x3 reflect conv) in
+LR space, one 8-row LR band per grid step, without ever materializing the
+(B, H, W, s*s*n_feats) phase tensor in HBM.
+
+Why a kernel: the XLA phase-plane formulation (ops/tail_phase.py) streams
+~600 MB/step through HBM at the flagship shape — the 151 MB bf16 phase
+tensor is written once and relaid out twice more (profiled v5e: ~1.5
+ms/step of pure layout copies, plus enough DMA pressure to stall the
+branch kernels' input pipelines). Here each grid step reads an 8-row
+(+1 halo) LR band of the 64-channel body output, runs the stage matmuls
+and the 3x3 phase-space conv on the MXU entirely in VMEM, and writes only
+the (8, W, s*s*3) HR phase-plane band; phases assemble to pixels once, in
+XLA, via the block-copy depth-to-space.
+
+Semantics (bit-comparable to tail_phase_apply, which is parity-tested
+against the conv->shuffle composition):
+  * stage contractions use the ps-permuted weights so stage outputs are
+    phase-ordered; the shared x4 stage-2 weight is applied by folding the
+    4 stage-1 groups into rows (contiguous reshape);
+  * the final 3x3 HR reflect conv is the 3x3 LR-grid conv with the
+    selector-expanded block-sparse kernel K (built in XLA, tiny einsum);
+  * HR reflect edges: the phase-remapped pad columns/rows are precomputed
+    in XLA on 1-pixel-thin slices (phase_edges below) and passed in; the
+    kernel splices them into each band (rows only at the frame's first
+    and last band, under pl.when);
+  * GELU is exact-erf via the Abramowitz-Stegun 7.1.26 rational
+    approximation (max abs err 1.5e-7 — far below bf16 resolution);
+    Mosaic has no erf lowering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from m2trans_tpu.ops.pixel_shuffle import pixel_shuffle_fast
+
+Params = Dict[str, Any]
+
+_BLOCK = 8  # LR rows per band
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel(y_a, y_b, lc_ref, rc_ref, top_ref, bot_ref, w0_ref, b0_ref,
+            w1_ref, b1_ref, k_ref, out_ref, *, nf: int, scale: int,
+            nh: int, w: int, rgb_range: float, precision):
+    i = pl.program_id(1)
+    P = scale * scale
+    cp = P * nf
+
+    band = jnp.concatenate([y_a[0], y_b[0, :2]], axis=0)  # (10, W, nf)
+    rows = band.shape[0]
+
+    # stage pipeline -> (10, W, P*nf) phase band (f32 — Mosaic strided /
+    # small-dim value ops are 32-bit-safe; the dots run single-pass
+    # regardless under default precision)
+    flat = band.reshape(rows * w, nf)
+    h = jnp.dot(flat, w0_ref[:], preferred_element_type=jnp.float32,
+                precision=precision)
+    h = _gelu(h + b0_ref[:].astype(jnp.float32))
+    if scale == 4:
+        # shared c1 on each stage-1 group: Mosaic rejects lane-splitting
+        # reshapes outright (any dtype), so apply it as four group dots
+        # over static lane slices — K=64-clean, intrinsic MACs only
+        b1f = b1_ref[:].astype(jnp.float32)
+        parts = []
+        for grp in range(4):
+            hg = h[:, grp * nf:(grp + 1) * nf].astype(band.dtype)
+            og = jnp.dot(hg, w1_ref[:], preferred_element_type=jnp.float32,
+                         precision=precision)
+            parts.append(_gelu(og + b1f))
+        h = jnp.concatenate(parts, axis=-1)
+    mid = h.reshape(rows, w, cp)
+
+    # splice the precomputed reflect-remapped edge columns (f32 inputs),
+    # then the top/bottom remapped rows on the frame's first/last band
+    ph = jnp.pad(mid, ((0, 0), (1, 1), (0, 0)))
+    lc = lc_ref[0, pl.ds(i * _BLOCK, rows), 0, :]  # (rows, cp)
+    rc = rc_ref[0, pl.ds(i * _BLOCK, rows), 0, :]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w + 2, 1), 1)
+    ph = jnp.where(col_ids == 0, lc[:, None, :], ph)
+    ph = jnp.where(col_ids == w + 1, rc[:, None, :], ph)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    ph = jnp.where((i == 0) & (row_ids == 0), top_ref[0, 0][None], ph)
+    ph = jnp.where((i == nh - 1) & (row_ids == rows - 1),
+                   bot_ref[0, 0][None], ph)
+
+    # 3x3 phase-space conv, VALID over the (10, W+2) band -> (8, W)
+    acc = jnp.zeros((_BLOCK * w, P * 3), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            win = ph[dr:dr + _BLOCK, dc:dc + w].reshape(_BLOCK * w, cp)
+            acc = acc + jnp.dot(win.astype(band.dtype), k_ref[dr, dc],
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+    out = jnp.clip(acc, 0.0, rgb_range)
+    out_ref[0] = out.reshape(_BLOCK, w, P * 3).astype(out_ref.dtype)
+
+
+def tail_band_fused(y, w0, b0, w1, b1, k, lc, rc, top, bot, *, scale: int,
+                    rgb_range: float, interpret: bool, precision=None):
+    """(B, H, W, nf) body output -> (B, H, W, s*s*3) clamped HR phase
+    planes. H, W multiples of 8 (guaranteed by the model's pad-to-32)."""
+    bsz, hh, w, nf = y.shape
+    nh = hh // _BLOCK
+    P = scale * scale
+
+    # edge-copy one row each side (their phase rows are what the H-remap
+    # relabels), then zero-pad so the i+1 block view stays in range
+    yp = jnp.pad(y, ((0, 0), (1, 0), (0, 0), (0, 0)), mode="edge")
+    yp = jnp.pad(yp, ((0, 0), (0, (nh + 2) * _BLOCK - yp.shape[1]),
+                      (0, 0), (0, 0)), mode="edge")
+
+    kern = functools.partial(_kernel, nf=nf, scale=scale, nh=nh, w=w,
+                             rgb_range=rgb_range, precision=precision)
+    band = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, _BLOCK, w, nf), lambda b, i, o=off: (b, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: (b,) + (0,) * (len(shp) - 1),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: tuple(0 for _ in shp), memory_space=pltpu.VMEM)
+
+    cp = P * nf
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, nh),
+        in_specs=[
+            band(0), band(1),
+            full((1, (nh + 1) * _BLOCK, 1, cp)),   # left col (yph rows)
+            full((1, (nh + 1) * _BLOCK, 1, cp)),   # right col
+            full((1, 1, w + 2, cp)),               # top remapped row
+            full((1, 1, w + 2, cp)),               # bottom remapped row
+            const(w0.shape), const(b0.shape),
+            const(w1.shape), const(b1.shape),
+            const(k.shape),
+        ],
+        out_specs=pl.BlockSpec((1, _BLOCK, w, P * 3),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, hh, w, P * 3), y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(bsz * hh * w * (nf * cp * (2 if scale == 4 else 1)
+                                      + 9 * cp * P * 3) * 2),
+            bytes_accessed=int(2 * (y.size + bsz * hh * w * P * 3)),
+            transcendentals=int(bsz * hh * w * cp)),
+        interpret=interpret,
+    )(yp, yp, lc, rc, top, bot, w0, b0, w1, b1, k)
+
+
+def _is_tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _tail_band_impl(p: Params, x: jnp.ndarray, scale: int,
+                    rgb_range: float, dtype, precision,
+                    interpret) -> jnp.ndarray:
+    from m2trans_tpu.ops.tail_phase import phase_edges, tail_phase_weights
+
+    w0, b0, w1, b1, k = tail_phase_weights(p, scale=scale, dtype=dtype,
+                                           precision=precision)
+    x = x.astype(dtype)
+    lc, rc, top, bot = phase_edges(p, x, scale=scale, dtype=dtype,
+                                   precision=precision,
+                                   pad_rows=(x.shape[1] // _BLOCK + 1)
+                                   * _BLOCK)
+    out = tail_band_fused(x, w0, b0, w1, b1, k, lc, rc, top, bot,
+                          scale=scale, rgb_range=rgb_range,
+                          interpret=interpret, precision=precision)
+    return pixel_shuffle_fast(out, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _tail_band(p, x, scale, rgb_range, dtype, precision, interpret):
+    return _tail_band_impl(p, x, scale, rgb_range, dtype, precision,
+                           interpret)
+
+
+def _tail_band_fwd(p, x, scale, rgb_range, dtype, precision, interpret):
+    out = _tail_band_impl(p, x, scale, rgb_range, dtype, precision,
+                          interpret)
+    return out, (p, x)
+
+
+def _tail_band_bwd(scale, rgb_range, dtype, precision, interpret, res, g):
+    # backward through the mathematically identical XLA composition (the
+    # clamp belongs to the function here, matching the model's semantics;
+    # the outer clamp in m2trans_apply is an idempotent no-op on values
+    # already inside the range and passes unit gradient there)
+    from m2trans_tpu.ops.tail_phase import tail_phase_apply
+
+    p, x = res
+
+    def f(pp, xx):
+        y = tail_phase_apply(pp, xx, scale=scale, dtype=dtype,
+                             precision=precision)
+        return jnp.clip(y, 0.0, rgb_range)
+
+    _, vjp = jax.vjp(f, p, x)
+    return vjp(g)
+
+
+_tail_band.defvjp(_tail_band_fwd, _tail_band_bwd)
+
+
+def tail_band_apply(p: Params, x: jnp.ndarray, *, scale: int,
+                    rgb_range: float, dtype=jnp.bfloat16, precision=None,
+                    interpret=None) -> jnp.ndarray:
+    """Full fused-tail path: XLA thin-edge precompute + band kernel + one
+    depth-to-space. Output is already clamped to [0, rgb_range].
+    Differentiable: the VJP runs through the XLA phase composition."""
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    return _tail_band(p, x, scale, rgb_range, dtype, precision,
+                      bool(interpret))

@@ -107,6 +107,117 @@ def _remap_edge(edge, src_of_dst: np.ndarray, nf: int):
     return out.reshape(edge.shape)
 
 
+def tail_phase_weights(p: Params, *, scale: int, dtype=jnp.bfloat16,
+                       precision=None):
+    """(w0, b0, w1, b1, K) for the phase-plane pipeline: ps-permuted stage
+    weights and the selector-expanded block-sparse 3x3 kernel. For
+    scale != 4, w1/b1 are unused placeholders (w0/b0 repeated)."""
+    nf = p["c0"]["w"].shape[-2]
+
+    def stage_w(sp, r):
+        w = sp["w"].reshape(sp["w"].shape[-2], sp["w"].shape[-1])
+        perm = ps_weight_perm(w.shape[1] // (r * r), r)
+        return w[:, perm].astype(dtype), sp["b"][perm].astype(dtype)
+
+    if scale == 4:
+        w0, b0 = stage_w(p["c0"], 2)
+        w1, b1 = stage_w(p["c1"], 2)
+        w_last = p["c2"]["w"]
+    else:
+        w0, b0 = stage_w(p["c0"], scale)
+        w1, b1 = w0, b0
+        w_last = p["c1"]["w"]
+    P = scale * scale
+    M = jnp.asarray(_k_selector(scale), dtype)
+    K = jnp.einsum("abpdeq,deio->abpiqo", M, w_last.astype(dtype),
+                   precision=precision).reshape(3, 3, P * nf, P * 3)
+    return w0, b0, w1, b1, K
+
+
+def _stage_pipeline(x, w0, b0, w1, b1, *, scale: int, nf: int,
+                    precision=None):
+    """Per-pixel phase stages on an arbitrary (thin) NHWC slice."""
+    def stage(z, w, b):
+        flat = z.reshape(-1, z.shape[-1])
+        out = lax.dot_general(flat, w, (((1,), (0,)), ((), ())),
+                              precision=precision,
+                              preferred_element_type=w.dtype)
+        return gelu_exact(out + b).reshape(z.shape[:-1] + (w.shape[1],))
+
+    y = stage(x, w0, b0)
+    if scale == 4:
+        flat = y.reshape(-1, nf)
+        out = lax.dot_general(flat, w1, (((1,), (0,)), ((), ())),
+                              precision=precision,
+                              preferred_element_type=w1.dtype)
+        y = gelu_exact(out + b1).reshape(y.shape[:-1] + (16 * nf,))
+    return y
+
+
+def phase_edges(p: Params, x: jnp.ndarray, *, scale: int,
+                dtype=jnp.bfloat16, precision=None, pad_rows: int = 0):
+    """Precompute the HR-reflect phase-remapped pad slices on 1-px-thin
+    slices of the body output ``x`` (B, H, W, nf), for the fused band
+    kernel (ops/pallas/tail_band.py):
+
+      left/right: (B, pad_rows or H+2, 1, P*nf) f32 — the remapped pad
+        COLUMNS indexed by padded-phase-row (row 0/last belong to the
+        remapped top/bottom rows and are provided there instead);
+      top/bottom: (B, 1, W+2, P*nf) f32 — the remapped pad ROWS including
+        their corner columns.
+    """
+    nf = x.shape[-1]
+    s = scale
+    w0, b0, w1, b1, _ = tail_phase_weights(p, scale=scale, dtype=dtype,
+                                           precision=precision)
+    L = _phase_layout(s)
+    P = s * s
+
+    def col_map(dst_pj, src_pj):
+        m = -np.ones(P, np.int64)
+        for pi in range(s):
+            m[L[pi, dst_pj]] = L[pi, src_pj]
+        return m
+
+    def row_map(dst_pi, src_pi):
+        m = -np.ones(P, np.int64)
+        for pj in range(s):
+            m[L[dst_pi, pj]] = L[src_pi, pj]
+        return m
+
+    stage = lambda z: _stage_pipeline(  # noqa: E731
+        z.astype(dtype), w0, b0, w1, b1, scale=scale, nf=nf,
+        precision=precision)
+
+    # pad columns from the frame's first/last interior columns
+    left = _remap_edge(stage(x[:, :, :1]), col_map(s - 1, 1), nf)
+    right = _remap_edge(stage(x[:, :, -1:]), col_map(0, s - 2), nf)
+
+    # pad rows: W-pad the frame's first/last interior rows first (so the
+    # row remap also covers the corners), then relabel
+    def padded_row(row):
+        phr = stage(row)  # (B, 1, W, P*nf)
+        lcr = _remap_edge(phr[:, :, :1], col_map(s - 1, 1), nf)
+        rcr = _remap_edge(phr[:, :, -1:], col_map(0, s - 2), nf)
+        return jnp.concatenate([lcr, phr, rcr], axis=2)
+
+    top = _remap_edge(padded_row(x[:, :1]), row_map(s - 1, 1), nf)
+    bot = _remap_edge(padded_row(x[:, -1:]), row_map(0, s - 2), nf)
+
+    # index left/right by padded-phase-row: row 0 unused (top row supplies
+    # it), rows 1..H hold the interior columns, row H+1 unused
+    zrow = jnp.zeros_like(left[:, :1])
+    left = jnp.concatenate([zrow, left, zrow], axis=1)
+    right = jnp.concatenate([zrow, right, zrow], axis=1)
+    if pad_rows and pad_rows > left.shape[1]:
+        extra = pad_rows - left.shape[1]
+        left = jnp.pad(left, ((0, 0), (0, extra), (0, 0), (0, 0)))
+        right = jnp.pad(right, ((0, 0), (0, extra), (0, 0), (0, 0)))
+    f32 = jnp.float32
+    return (left.astype(f32), right.astype(f32), top.astype(f32),
+            bot.astype(f32))
+
+
 def tail_phase_apply(p: Params, x: jnp.ndarray, *, scale: int,
                      dtype=jnp.bfloat16, precision=None) -> jnp.ndarray:
     """(B, H, W, nf) -> (B, H*scale, W*scale, 3), unclamped (same contract

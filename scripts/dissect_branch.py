@@ -131,7 +131,7 @@ def main():
         acc = 0.0
         for c in calls:
             acc = acc + c(xp, wq, wq, wq, rel).astype(jnp.float32).mean()
-        return x * 0.999 + acc * 1e-6
+        return x * 0.999 + acc.astype(x.dtype) * 1e-6
 
     x0 = jax.random.normal(key, (B, H, W, C), jnp.bfloat16)
     print("modes in order:", modes)

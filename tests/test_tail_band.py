@@ -1,0 +1,66 @@
+"""Fused Pallas band tail (ops/pallas/tail_band.py) — interpret-mode parity
+with the conv->PixelShuffle composition and the XLA phase formulation,
+including the HR reflect-edge phase remaps, clamping, and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m2trans_tpu.config import Config
+from m2trans_tpu.models import init_m2trans
+from m2trans_tpu.models.m2trans import ComputePolicy, tail_apply
+from m2trans_tpu.ops.pallas.tail_band import tail_band_apply
+from m2trans_tpu.ops.tail_phase import tail_phase_apply
+
+
+def _params(scale, nf=16, seed=0):
+    cfg = Config(scale=scale, n_feats=nf, n_blocks=1)
+    return init_m2trans(jax.random.PRNGKey(seed), cfg)["tail"]
+
+
+@pytest.mark.parametrize("scale,hw", [(2, (32, 32)), (3, (32, 64)),
+                                      (4, (32, 32)), (4, (24, 40))])
+def test_band_tail_matches_conv_composition(scale, hw, rng):
+    nf = 16
+    p = _params(scale, nf)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, *hw, nf)).astype(np.float32))
+
+    got = np.asarray(tail_band_apply(
+        p, x, scale=scale, rgb_range=1.0, interpret=True)
+    ).astype(np.float32)
+
+    ref_pol = ComputePolicy(dtype=jnp.float32)
+    ref = np.asarray(jnp.clip(
+        tail_apply(p, x, scale=scale, policy=ref_pol), 0.0, 1.0))
+    assert got.shape == ref.shape == (2, hw[0] * scale, hw[1] * scale, 3)
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+    assert float(np.abs(got - ref).mean()) < 2e-3
+
+    # and near-exactly the XLA phase formulation at the same bf16 numerics
+    ph = np.asarray(jnp.clip(tail_phase_apply(
+        p, x, scale=scale, dtype=jnp.bfloat16), 0.0, 1.0)).astype(np.float32)
+    np.testing.assert_allclose(got, ph, atol=8e-3)
+
+
+def test_band_tail_gradients_match_phase(rng):
+    nf = 16
+    p = _params(4, nf)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 32, 32, nf)).astype(np.float32))
+
+    def loss_band(pp, xx):
+        y = tail_band_apply(pp, xx, scale=4, rgb_range=1.0, interpret=True)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    def loss_phase(pp, xx):
+        y = jnp.clip(tail_phase_apply(pp, xx, scale=4,
+                                      dtype=jnp.bfloat16), 0.0, 1.0)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    gb = jax.grad(loss_band, argnums=(0, 1))(p, x)
+    gp = jax.grad(loss_phase, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gb),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=5e-3, rtol=5e-2)
