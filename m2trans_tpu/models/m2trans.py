@@ -244,6 +244,9 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
                block: int = 8, halo: int = 1) -> jnp.ndarray:
     """Coarse-to-Fine Transformer Module (reference CFTM.forward :132-164,
     norm=True path)."""
+    if policy.use_pallas and policy.dtype == jnp.bfloat16:
+        return _cftm_apply_fused(p, x, policy=policy, block=block,
+                                 halo=halo)
     branch = make_branch_fn(p, policy, block=block, halo=halo)
     xn = instance_norm(x)
     x1, x2, x3, x4 = jnp.split(xn, 4, axis=-1)
@@ -263,6 +266,46 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
     ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",
                 dtype=policy.dtype, precision=policy.precision)
     return ff + x
+
+
+def _cftm_apply_fused(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
+                      block: int, halo: int) -> jnp.ndarray:
+    """bf16+Pallas CFTM: instance-norm application, cascade averages, zero
+    halo padding, attention, and branch residuals all run inside the fused
+    branch kernels (ops/pallas/halo_attn.cftm_branch_fused); XLA keeps only
+    the IN statistics reduce, the concat, and the feed-forward conv +
+    module residual."""
+    from m2trans_tpu.ops.pallas.halo_attn import cftm_branch_fused
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2))
+    var = jnp.mean(jnp.square(xf), axis=(1, 2)) - jnp.square(mean)
+    inv = lax.rsqrt(var + 1e-5)
+    tfull = -mean * inv
+    cb = x.shape[-1] // 4
+
+    def branch(name, xk, prev, levels, k):
+        c = cb * 4 ** levels
+        w_qkv = p[name]["qkv_w"].reshape(c, 3 * c).astype(policy.dtype)
+        sk = inv[:, k * cb:(k + 1) * cb]
+        tk = tfull[:, k * cb:(k + 1) * cb]
+        if prev is not None:
+            sk, tk = sk * 0.5, tk * 0.5
+        return cftm_branch_fused(
+            xk.astype(policy.dtype), w_qkv, p[name]["rel_h"],
+            p[name]["rel_w"], sk, tk, x_add=prev, r=0.5, block=block,
+            halo=halo, levels=levels)
+
+    x1, x2, x3, x4 = jnp.split(x, 4, axis=-1)
+    o1 = branch("attn1", x1, None, 0, 0)
+    o2 = branch("attn2", x2, o1, 1, 1)
+    o3 = branch("attn3", x3, o2, 2, 2)
+    o4 = branch("attn4", x4, o3, 2, 3)
+
+    xc = jnp.concatenate([o1, o2, o3, o4], axis=-1)
+    ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",
+                dtype=policy.dtype, precision=policy.precision)
+    return ff + x.astype(policy.dtype)
 
 
 def _tail_band_fits(w: int, scale: int, nf: int,

@@ -45,6 +45,27 @@ from m2trans_tpu.ops.halo_attention import halo_attention
 from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
 
 
+def _affine_band(x, x_add, s, t, *, i, h, w, block, halo, levels, r):
+    """In-band input transform for the fused CFTM cascade:
+    z = (x*s + t)*interior_mask + r*x_add — folds the instance-norm apply
+    (s = inv_std, t = -mean*inv_std, per image x channel) and the cascade
+    average into the kernel; the mask re-zeroes the halo padding that the
+    affine shift would otherwise pollute (the reference's unfold/conv see
+    zeros beyond the frame)."""
+    sfull = 2 ** levels
+    zf = x.astype(jnp.float32) * s[:, None, None, :] + t[:, None, None, :]
+    rows, wp = x.shape[1], x.shape[2]
+    grow = (jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1, 1), 1)
+            + i * block * sfull - halo * sfull)
+    gcol = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, wp, 1), 2)
+            - halo * sfull)
+    mask = ((grow >= 0) & (grow < h) & (gcol >= 0) & (gcol < w))
+    zf = jnp.where(mask, zf, 0.0)
+    if x_add is not None:
+        zf = zf + r * x_add.astype(jnp.float32)
+    return zf.astype(x.dtype)
+
+
 def _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, *,
                block: int, halo: int, wc: int, levels: int, precision):
     """Process a group of overlapping full-res bands: DWT^L -> qkv ->
@@ -225,6 +246,38 @@ def _kernel(xa_ref, xb_ref, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
                      block=block, halo=halo, wc=wc, levels=levels,
                      precision=precision)
     out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _cascade_kernel(*refs, block: int, halo: int, wc: int, levels: int,
+                    precision, h: int, w: int, r: float, has_add: bool):
+    """Banded variant with the CFTM glue folded in: affine (IN-apply) +
+    masked zero-pad + optional cascade add on the way in, residual add on
+    the way out. out = attn(z) + z, z = (x*s + t)*mask + r*x_add."""
+    if has_add:
+        (xa, xb, aa, ab, s_ref, t_ref, wq_ref, wk_ref, wv_ref, relh_ref,
+         relw_ref, out_ref, *scratch) = refs
+    else:
+        (xa, xb, s_ref, t_ref, wq_ref, wk_ref, wv_ref, relh_ref,
+         relw_ref, out_ref, *scratch) = refs
+        aa = ab = None
+    s = 2 ** levels
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    x = jnp.concatenate([xa[:], xb[:, : 2 * halo * s]], axis=1)
+    gb = x.shape[0]
+    x_add = None
+    if has_add:
+        x_add = jnp.concatenate([aa[:], ab[:, : 2 * halo * s]], axis=1)
+    sv = s_ref[pl.ds(b * gb, gb), :]
+    tv = t_ref[pl.ds(b * gb, gb), :]
+    z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w,
+                     block=block, halo=halo, levels=levels, r=r)
+    out = _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
+                     block=block, halo=halo, wc=wc, levels=levels,
+                     precision=precision)
+    blk_full = block * s
+    res = z[:, halo * s: halo * s + blk_full, halo * s: halo * s + w, :]
+    out_ref[:] = (out + res.astype(jnp.float32)).astype(out_ref.dtype)
 
 
 def _tile_kernel(xaa_ref, xab_ref, xba_ref, xbb_ref, wq_ref, wk_ref, wv_ref,
@@ -479,14 +532,20 @@ def _halo_attention_tiled_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
 _GROUP_BUDGET = {0: 25e6, 1: 7e6, 2: 12e6}
 
 
-def _pick_group(bsz: int, w, cb, c, block, halo, levels) -> int:
+def _pick_group(bsz: int, w, cb, c, block, halo, levels,
+                extra_views: int = 0) -> int:
     """Largest batch group per program that divides the batch and fits the
-    per-level calibrated budget (>=1; g=1 is the round-1 per-image grid)."""
+    per-level calibrated budget (>=1; g=1 is the round-1 per-image grid).
+    ``extra_views``: additional banded input views (the cascade-add input)
+    counted at the same double-buffered footprint."""
     budget = _GROUP_BUDGET.get(levels, 0.0)
+    sfull = 2 ** levels
+    view_bytes = 2 * 2 * block * sfull * (w + 2 * halo * sfull) * _lanes(cb)
     g = 1
     for cand in (2, 4, 8, 16):
-        if bsz % cand == 0 and _banded_vmem_bytes(
-                w, cb, c, block, halo, levels, cand) <= budget:
+        est = _banded_vmem_bytes(w, cb, c, block, halo, levels, cand) \
+            + cand * extra_views * view_bytes
+        if bsz % cand == 0 and est <= budget:
             g = cand
     return g
 
@@ -553,6 +612,178 @@ def _halo_attention_banded_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
         interpret=interpret,
     )(xp, xp, wq, wk, wv, rel_h, rel_w)
     return out
+
+
+def _cascade_banded_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
+                         halo, levels, r, interpret, precision=None):
+    bsz, h, w, cb = x.shape
+    sfull = 2 ** levels
+    c = cb * (4 ** levels)
+    win = block + 2 * halo
+    wc = w // sfull
+    wq, wk, wv = (w_qkv[:, :c], w_qkv[:, c:2 * c], w_qkv[:, 2 * c:])
+    has_add = x_add is not None
+
+    nh = h // (block * sfull)
+    blk_full = block * sfull
+    gb = _pick_group(bsz, w, cb, c, block, halo, levels,
+                     extra_views=2 if has_add else 0)
+    pad_bottom = (nh + 1) * blk_full - h - halo * sfull
+    pads = ((0, 0), (halo * sfull, pad_bottom),
+            (halo * sfull, halo * sfull), (0, 0))
+    xp = jnp.pad(x, pads)
+    wp_full = w + 2 * halo * sfull
+
+    kernel = functools.partial(_cascade_kernel, block=block, halo=halo,
+                               wc=wc, levels=levels, precision=precision,
+                               h=h, w=w, r=float(r), has_add=has_add)
+    band_spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (gb, blk_full, wp_full, cb), lambda b, i, o=off: (b, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: tuple(0 for _ in shp), memory_space=pltpu.VMEM)
+    # full (B, cb) block — per-group row slicing happens in-kernel (a
+    # (gb, cb) block would violate the (8, 128)-divisible min-tile rule)
+    per_img = pl.BlockSpec((bsz, cb), lambda b, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xp, xp]
+    in_specs = [band_spec(0), band_spec(1)]
+    if has_add:
+        ap = jnp.pad(x_add, pads)
+        operands += [ap, ap]
+        in_specs += [band_spec(0), band_spec(1)]
+    operands += [s.astype(jnp.float32), t.astype(jnp.float32),
+                 wq, wk, wv, rel_h, rel_w]
+    in_specs += [per_img, per_img, const((c, c)), const((c, c)),
+                 const((c, c)), const((win, c // 2)), const((win, c // 2))]
+
+    nw = wc // block
+    flops_per_band = gb * (
+        2 * win * (wc + 2 * halo) * c * 3 * c
+        + nw * (2 * block * block * win * win * c * 2))
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz // gb, nh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gb, blk_full, w, cb),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cb), x.dtype),
+        scratch_shapes=_branch_scratch_shapes(wp_full, wc, cb, c, block,
+                                              halo, levels, gb),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_band * (bsz // gb) * nh),
+            bytes_accessed=int((3 if has_add else 2) * x.size
+                               * x.dtype.itemsize),
+            transcendentals=int(bsz * h * w * win * win // sfull ** 2)),
+        interpret=interpret,
+    )(*operands)
+
+
+def _cascade_xla(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block, halo,
+                 levels, r, precision=None):
+    """XLA equivalent of the fused cascade branch (used for the backward
+    pass and as the over-VMEM fallback)."""
+    z = (x.astype(jnp.float32) * s[:, None, None, :].astype(jnp.float32)
+         + t[:, None, None, :].astype(jnp.float32))
+    if x_add is not None:
+        z = z + r * x_add.astype(jnp.float32)
+    z = z.astype(x.dtype)
+    return _xla_reference(z, w_qkv, rel_h, rel_w, block=block, halo=halo,
+                          levels=levels, precision=precision) + z
+
+
+def _make_cascade_fused(has_add: bool):
+    def _dispatch(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
+                  r, interpret, precision):
+        c = x.shape[-1] * 4 ** levels
+        if _banded_vmem_bytes(x.shape[2], x.shape[-1], c, block, halo,
+                              levels) > _BANDED_VMEM_LIMIT:
+            return _cascade_xla(x, x_add, s, t, w_qkv, rel_h, rel_w,
+                                block=block, halo=halo, levels=levels,
+                                r=r, precision=precision)
+        return _cascade_banded_impl(x, x_add, s, t, w_qkv, rel_h, rel_w,
+                                    block=block, halo=halo, levels=levels,
+                                    r=r, interpret=interpret,
+                                    precision=precision)
+
+    if has_add:
+        def prim(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
+                 r, interpret, precision):
+            return _dispatch(x, x_add, s, t, w_qkv, rel_h, rel_w, block,
+                             halo, levels, r, interpret, precision)
+    else:
+        def prim(x, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
+                 r, interpret, precision):
+            return _dispatch(x, None, s, t, w_qkv, rel_h, rel_w, block,
+                             halo, levels, r, interpret, precision)
+
+    # static trailing args: (block, halo, levels, r, interpret, precision)
+    first_static = 7 if has_add else 6
+    wrapped = jax.custom_vjp(
+        prim, nondiff_argnums=tuple(range(first_static, first_static + 6)))
+
+    if has_add:
+        def fwd(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
+                r, interpret, precision):
+            out = prim(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo,
+                       levels, r, interpret, precision)
+            return out, (x, x_add, s, t, w_qkv, rel_h, rel_w)
+
+        def bwd(block, halo, levels, r, interpret, precision, res, g):
+            x, x_add, s, t, w_qkv, rel_h, rel_w = res
+            _, vjp = jax.vjp(
+                lambda *a: _cascade_xla(*a, block=block, halo=halo,
+                                        levels=levels, r=r,
+                                        precision=precision),
+                x, x_add, s, t, w_qkv, rel_h, rel_w)
+            return vjp(g)
+    else:
+        def fwd(x, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
+                r, interpret, precision):
+            out = prim(x, s, t, w_qkv, rel_h, rel_w, block, halo,
+                       levels, r, interpret, precision)
+            return out, (x, s, t, w_qkv, rel_h, rel_w)
+
+        def bwd(block, halo, levels, r, interpret, precision, res, g):
+            x, s, t, w_qkv, rel_h, rel_w = res
+            _, vjp = jax.vjp(
+                lambda xx, ss, tt, ww, rh, rw: _cascade_xla(
+                    xx, None, ss, tt, ww, rh, rw, block=block, halo=halo,
+                    levels=levels, r=r, precision=precision),
+                x, s, t, w_qkv, rel_h, rel_w)
+            return vjp(g)
+
+    wrapped.defvjp(fwd, bwd)
+    return wrapped
+
+
+_cascade_fused_add = _make_cascade_fused(True)
+_cascade_fused_noadd = _make_cascade_fused(False)
+
+
+def cftm_branch_fused(x, w_qkv, rel_h, rel_w, s, t, *, x_add=None,
+                      r: float = 0.5, block: int = 8, halo: int = 1,
+                      levels: int = 0, interpret=None, precision=None):
+    """Fused CFTM cascade branch: ``out = B(z) + z`` with
+    ``z = (x*s + t) [+ r*x_add]`` and B = DWT^levels -> qkv -> halo
+    attention -> IWT^levels — the instance-norm application, cascade
+    average, zero halo padding, attention, and residual in ONE kernel
+    (reference CFTM.forward :132-164 norm=True path, per branch).
+
+    x: (B, H, W, Cb) raw channel slice; s, t: (B, Cb) f32 per-image affine
+    (inv_std, -mean*inv_std, scaled by the cascade's 1/2 where x_add is
+    given). Falls back to the XLA composition beyond the VMEM gate."""
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    if x_add is not None:
+        return _cascade_fused_add(x, x_add, s, t, w_qkv, rel_h, rel_w,
+                                  block, halo, levels, float(r),
+                                  bool(interpret), precision)
+    return _cascade_fused_noadd(x, s, t, w_qkv, rel_h, rel_w,
+                                block, halo, levels, float(r),
+                                bool(interpret), precision)
 
 
 def _xla_reference(x, w_qkv, rel_h, rel_w, *, block, halo, levels,

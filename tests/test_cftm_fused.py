@@ -1,0 +1,85 @@
+"""Fused CFTM cascade branch (cftm_branch_fused): interpret-mode parity
+with the XLA composition — instance-norm apply, cascade average, masked
+zero padding, attention, residual — plus gradients, and the full
+_cftm_apply_fused module against the plain bf16 cftm_apply."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m2trans_tpu.config import Config
+from m2trans_tpu.models import init_m2trans
+from m2trans_tpu.models.m2trans import ComputePolicy, cftm_apply
+from m2trans_tpu.ops.pallas.halo_attn import _cascade_xla, cftm_branch_fused
+
+
+def _mk(levels, cb=4, bsz=2, hw=32, seed=0):
+    rng = np.random.default_rng(seed)
+    c = cb * 4 ** levels
+    x = jnp.asarray(rng.normal(0, 1, (bsz, hw, hw, cb)).astype(np.float32))
+    w_qkv = jnp.asarray(rng.normal(0, c ** -0.5,
+                                   (c, 3 * c)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(0, 1, (10, c // 2)).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (bsz, cb)).astype(np.float32))
+    t = jnp.asarray(rng.normal(0, 0.2, (bsz, cb)).astype(np.float32))
+    add = jnp.asarray(rng.normal(0, 1, (bsz, hw, hw, cb)).astype(np.float32))
+    return x, w_qkv, rel, s, t, add
+
+
+@pytest.mark.parametrize("levels,with_add", [(0, False), (0, True),
+                                             (1, True), (2, True)])
+def test_cascade_branch_matches_xla(levels, with_add):
+    x, w_qkv, rel, s, t, add = _mk(levels)
+    xb = x.astype(jnp.bfloat16)
+    ab = add.astype(jnp.bfloat16) if with_add else None
+    got = np.asarray(cftm_branch_fused(
+        xb, w_qkv.astype(jnp.bfloat16), rel, rel, s, t, x_add=ab, r=0.5,
+        levels=levels, interpret=True)).astype(np.float32)
+    want = np.asarray(_cascade_xla(
+        xb, ab, s, t, w_qkv.astype(jnp.bfloat16), rel, rel, block=8,
+        halo=1, levels=levels, r=0.5)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+    assert float(np.abs(got - want).mean()) < 5e-3
+
+
+def test_cascade_branch_gradients():
+    x, w_qkv, rel, s, t, add = _mk(0, bsz=1, hw=16, seed=1)
+
+    def loss_fused(xx, aa, ss, tt, ww):
+        y = cftm_branch_fused(xx.astype(jnp.bfloat16),
+                              ww.astype(jnp.bfloat16), rel, rel, ss, tt,
+                              x_add=aa.astype(jnp.bfloat16), r=0.5,
+                              levels=0, interpret=True)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    def loss_xla(xx, aa, ss, tt, ww):
+        y = _cascade_xla(xx.astype(jnp.bfloat16), aa.astype(jnp.bfloat16),
+                         ss, tt, ww.astype(jnp.bfloat16), rel, rel,
+                         block=8, halo=1, levels=0, r=0.5)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, add, s, t, w_qkv)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, add, s, t, w_qkv)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-3, rtol=1e-2)
+
+
+def test_cftm_fused_module_matches_plain(rng):
+    """Full CFTM: the fused path must match the plain bf16 composition."""
+    cfg = Config(scale=2, n_feats=16, n_blocks=1)
+    blk = init_m2trans(jax.random.PRNGKey(0), cfg)["body"][0]
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 16)).astype(np.float32))
+
+    plain = ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                          use_pallas=False)
+    fused = ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                          use_pallas=True)
+    want = np.asarray(cftm_apply(blk, x.astype(jnp.bfloat16),
+                                 policy=plain)).astype(np.float32)
+    got = np.asarray(cftm_apply(blk, x.astype(jnp.bfloat16),
+                                policy=fused)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+    assert float(np.abs(got - want).mean()) < 5e-3
