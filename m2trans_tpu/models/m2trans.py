@@ -290,10 +290,17 @@ def _cftm_apply_fused(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
         sk = inv[:, k * cb:(k + 1) * cb]
         tk = tfull[:, k * cb:(k + 1) * cb]
         if prev is not None:
+            # fold the cascade average into the affine instead of a second
+            # banded kernel input: z = (xn_k + prev)/2 = (x + prev/inv) *
+            # (inv/2) + t/2 — the x_add path costs ~3.4 MB of VMEM views in
+            # the L=2 backward kernel, pushing it over the 16 MB limit
             sk, tk = sk * 0.5, tk * 0.5
+            xk = (xk.astype(jnp.float32)
+                  + prev.astype(jnp.float32)
+                  * (0.5 / sk)[:, None, None, :])
         return cftm_branch_fused(
             xk.astype(policy.dtype), w_qkv, p[name]["rel_h"],
-            p[name]["rel_w"], sk, tk, x_add=prev, r=0.5, block=block,
+            p[name]["rel_w"], sk, tk, x_add=None, r=0.0, block=block,
             halo=halo, levels=levels)
 
     x1, x2, x3, x4 = jnp.split(x, 4, axis=-1)
@@ -399,13 +406,22 @@ MICRO_BATCH = 8
 def m2trans_apply_microbatched(
         params: Params, x: jnp.ndarray, cfg: Config,
         policy: Optional[ComputePolicy] = None,
-        micro_batch: int = MICRO_BATCH) -> jnp.ndarray:
-    """m2trans_apply over micro-batches of ``micro_batch`` via lax.map:
-    large serving batches keep batch-8's per-image step time instead of
-    regressing (throughput becomes flat, not decreasing, in batch)."""
+        micro_batch: int = MICRO_BATCH,
+        max_unroll: int = 8) -> jnp.ndarray:
+    """m2trans_apply over micro-batches of ``micro_batch``: large serving
+    batches keep batch-8's per-image step time instead of regressing.
+    Up to ``max_unroll`` chunks are unrolled (XLA overlaps the chunk
+    boundaries — measured 83 vs 68 MP/s at batch 32 against lax.map);
+    beyond that lax.map bounds compile time."""
     b = x.shape[0]
     if b <= micro_batch or b % micro_batch:
         return m2trans_apply(params, x, cfg, policy)
-    xs = x.reshape((b // micro_batch, micro_batch) + x.shape[1:])
+    n = b // micro_batch
+    if n <= max_unroll:
+        ys = [m2trans_apply(params,
+                            x[i * micro_batch:(i + 1) * micro_batch],
+                            cfg, policy) for i in range(n)]
+        return jnp.concatenate(ys, axis=0)
+    xs = x.reshape((n, micro_batch) + x.shape[1:])
     ys = jax.lax.map(lambda xc: m2trans_apply(params, xc, cfg, policy), xs)
     return ys.reshape((b,) + ys.shape[2:])

@@ -157,6 +157,11 @@ import os as _os  # noqa: E402
 
 _FORCE_SCHEDULE = _os.environ.get("M2T_ATTN_SCHEDULE") or None
 
+# Pallas backward kernels for the fused cascade (in-VMEM recompute +
+# reverse chain); disable with M2T_PALLAS_BWD=0 to fall back to the XLA
+# vjp of the composition.
+_PALLAS_BWD = _os.environ.get("M2T_PALLAS_BWD", "1") != "0"
+
 
 def _attend_serial(q_full, k_full, v_full, relw, *, block, halo, wc,
                    precision):
@@ -533,12 +538,16 @@ _GROUP_BUDGET = {0: 25e6, 1: 7e6, 2: 12e6}
 
 
 def _pick_group(bsz: int, w, cb, c, block, halo, levels,
-                extra_views: int = 0) -> int:
+                extra_views: int = 0, bwd: bool = False) -> int:
     """Largest batch group per program that divides the batch and fits the
     per-level calibrated budget (>=1; g=1 is the round-1 per-image grid).
     ``extra_views``: additional banded input views (the cascade-add input)
-    counted at the same double-buffered footprint."""
+    counted at the same double-buffered footprint. The backward kernel
+    roughly doubles the live set (recompute + grads), so it gets half the
+    budget."""
     budget = _GROUP_BUDGET.get(levels, 0.0)
+    if bwd:
+        budget *= 0.5
     sfull = 2 ** levels
     view_bytes = 2 * 2 * block * sfull * (w + 2 * halo * sfull) * _lanes(cb)
     g = 1
@@ -681,6 +690,311 @@ def _cascade_banded_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
     )(*operands)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernel for the fused cascade branch (VERDICT r1 item 5): the
+# custom_vjp bwd runs in Pallas too, so training never re-runs the XLA
+# forward composition. Per band the kernel recomputes the cheap forward
+# (z, qkv, patches, attention probabilities), then walks the chain
+# backward: softmax-vjp -> batched dq/dk/dv dots -> overlap-add window
+# scatter (the adjoint of the aligned+overflow patch build) -> projection
+# transpose dots -> IWT (the adjoint of the orthonormal DWT). Weight and
+# rel-pos grads accumulate across the sequential TPU grid; dz leaves as
+# overlapping extended bands that XLA folds with two shifted adds.
+# ---------------------------------------------------------------------------
+
+
+def _dwt_value(v, bufs):
+    """DWT^L of a (G, R, W, C) value via f32 scratch refs (strided access
+    is 32-bit-only in Mosaic). len(bufs) == levels + 1."""
+    if len(bufs) == 1:
+        return v
+    bufs[0][:] = v.astype(jnp.float32)
+    for l in range(len(bufs) - 1):
+        src, dst = bufs[l], bufs[l + 1]
+        a = src[:, 0::2, 0::2, :]
+        b = src[:, 1::2, 0::2, :]
+        cc = src[:, 0::2, 1::2, :]
+        d = src[:, 1::2, 1::2, :]
+        dst[:] = jnp.concatenate(
+            [(a + b + cc + d), (-a - b + cc + d), (-a + b - cc + d),
+             (a - b - cc + d)], axis=-1) * 0.5
+    return bufs[-1][:]
+
+
+def _iwt_value(v, bufs):
+    """IWT^L of a coarse (G, r, w, 4^L*C) value via f32 scratch refs."""
+    for dst in bufs:
+        ll, hl, lh, hh = jnp.split(v, 4, axis=-1)
+        dst[:, 0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
+        dst[:, 0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
+        dst[:, 1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
+        dst[:, 1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
+        v = dst[:]
+    return v
+
+
+def _unpatch(pat, *, block, halo, wp):
+    """Adjoint of _window_patches: (G, nw, win, win, c) window grads ->
+    (G, win, wp, c) with the 2*halo-column overlaps added."""
+    g, nw, win = pat.shape[0], pat.shape[1], pat.shape[2]
+    c = pat.shape[-1]
+    t = pat.transpose(0, 2, 1, 3, 4)  # (G, win, nw, win, c)
+    aligned = t[:, :, :, :block, :].reshape(g, win, nw * block, c)
+    aligned = jnp.pad(aligned, ((0, 0), (0, 0), (0, block), (0, 0)))
+    ov = t[:, :, :, block:, :]  # (G, win, nw, 2*halo, c)
+    ov = jnp.pad(ov, ((0, 0), (0, 0), (0, 0), (0, block - 2 * halo),
+                      (0, 0)))
+    ov = ov.reshape(g, win, nw * block, c)
+    ov = jnp.pad(ov, ((0, 0), (0, 0), (block, 0), (0, 0)))
+    return (aligned + ov)[:, :, :wp, :]
+
+
+def _cascade_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
+                        precision, h: int, w: int, r: float, has_add: bool,
+                        bsz: int):
+    if has_add:
+        (xa, xb, aa, ab, ga, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
+         relh_ref, relw_ref, dze_ref, dw_ref, drh_ref, drw_ref,
+         *scratch) = refs
+    else:
+        (xa, xb, ga, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
+         relh_ref, relw_ref, dze_ref, dw_ref, drh_ref, drw_ref,
+         *scratch) = refs
+        aa = ab = None
+    sf = 2 ** levels
+    b_id = pl.program_id(0)
+    i = pl.program_id(1)
+    win = block + 2 * halo
+    wp = wc + 2 * halo
+    nw = wc // block
+    hs = halo * sf
+    blk_full = block * sf
+
+    n_dwt = levels + 1 if levels else 1
+    z_bufs = scratch[:n_dwt] if levels else []
+    g_bufs = scratch[n_dwt:2 * n_dwt] if levels else []
+    iwt_bufs = scratch[2 * n_dwt:] if levels else []
+
+    # ---- forward recompute ----
+    x = jnp.concatenate([xa[:], xb[:, : 2 * hs]], axis=1)
+    g = x.shape[0]
+    x_add = None
+    if has_add:
+        x_add = jnp.concatenate([aa[:], ab[:, : 2 * hs]], axis=1)
+    sv = s_ref[pl.ds(b_id * g, g), :]
+    tv = t_ref[pl.ds(b_id * g, g), :]
+    z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
+                     halo=halo, levels=levels, r=r)
+    zc = _dwt_value(z, z_bufs).astype(z.dtype) if levels else z
+    c = zc.shape[-1]
+    c2 = c // 2
+    wqkv = jnp.concatenate([wq_ref[:], wk_ref[:], wv_ref[:]], axis=1)
+    zf = zc.reshape(g * win * wp, c)
+    qkv = jnp.dot(zf, wqkv, preferred_element_type=jnp.float32,
+                  precision=precision).reshape(g, win, wp, 3 * c)
+    scale = c ** -0.5
+    q_full = qkv[:, halo:halo + block, halo:halo + wc, :c] * scale
+    relh = relh_ref[:].astype(jnp.float32)
+    relw = relw_ref[:].astype(jnp.float32)
+    kv_full = jnp.concatenate(
+        [qkv[..., c:c + c2] + relh[None, :, None, :], qkv[..., c + c2:]],
+        axis=-1)
+    kvb = _window_patches(kv_full, block=block, halo=halo, wc=wc)
+    kb = jnp.concatenate(
+        [kvb[..., :c2], kvb[..., c2:c] + relw[None, None, None]],
+        axis=-1).reshape(g * nw, win * win, c)
+    vb = kvb[..., c:].reshape(g * nw, win * win, c)
+    qb = q_full.reshape(g, block, nw, block, c).transpose(0, 2, 1, 3, 4)
+    qb = qb.reshape(g * nw, block * block, c)
+    sim = jax.lax.dot_general(
+        qb, kb, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    sim = sim - jnp.max(sim, axis=-1, keepdims=True)
+    e = jnp.exp(sim)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    # ---- backward ----
+    g_band = ga[:].astype(jnp.float32)  # (g, blk_full, w, cb)
+    gc = _dwt_value(g_band, g_bufs) if levels else g_band
+    gc = gc.astype(jnp.float32)  # (g, block, wc, c)
+    g_b = gc.reshape(g, block, nw, block, c).transpose(0, 2, 1, 3, 4)
+    g_b = g_b.reshape(g * nw, block * block, c)
+
+    dv_b = jax.lax.dot_general(  # attn^T @ g_b
+        attn, g_b, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    dattn = jax.lax.dot_general(  # g_b @ v^T
+        g_b, vb, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    rs = jnp.sum(dattn * attn, axis=-1, keepdims=True)
+    dsim = attn * (dattn - rs)
+    dq_b = jax.lax.dot_general(  # dsim @ k
+        dsim, kb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    dk_b = jax.lax.dot_general(  # dsim^T @ q
+        dsim, qb, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    # rel_w grad: added to k window-columns after patching
+    dk_r = dk_b.reshape(g, nw, win, win, c)
+    drw_c = jnp.sum(dk_r[..., c2:], axis=(0, 1, 2))  # (win, c2)
+    dkv_r = jnp.concatenate([dk_r, dv_b.reshape(g, nw, win, win, c)],
+                            axis=-1)
+    dkv_full = _unpatch(dkv_r, block=block, halo=halo, wp=wp)
+    drh_c = jnp.sum(dkv_full[..., :c2], axis=(0, 2))  # (win, c2)
+
+    dq_full = dq_b.reshape(g, nw, block, block, c).transpose(0, 2, 1, 3, 4)
+    dq_full = dq_full.reshape(g, block, wc, c) * scale
+    dq_emb = jnp.pad(dq_full, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+    dqkv = jnp.concatenate([dq_emb, dkv_full], axis=-1)  # (g, win, wp, 3c)
+    dqkv_f = dqkv.reshape(g * win * wp, 3 * c)
+
+    dw_c = jax.lax.dot_general(  # zf^T @ dqkv
+        zf, dqkv_f, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    dzc = jax.lax.dot_general(  # dqkv @ w_qkv^T
+        dqkv_f, wqkv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision).reshape(g, win, wp, c)
+    dz = _iwt_value(dzc, iwt_bufs) if levels else dzc  # (g, ext, wpf, cb)
+
+    # add the residual cotangent (out = attn_out + z) at interior positions
+    g_pad = jnp.pad(g_band, ((0, 0), (hs, hs), (hs, hs), (0, 0)))
+    dz = dz.astype(jnp.float32) + g_pad
+
+    dze_ref[:, 0] = dz.astype(dze_ref.dtype)
+    first = (b_id == 0) & (i == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[:] = dw_c.astype(dw_ref.dtype)
+        drh_ref[:] = drh_c.astype(drh_ref.dtype)
+        drw_ref[:] = drw_c.astype(drw_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw_ref[:] = dw_ref[:] + dw_c.astype(dw_ref.dtype)
+        drh_ref[:] = drh_ref[:] + drh_c.astype(drh_ref.dtype)
+        drw_ref[:] = drw_ref[:] + drw_c.astype(drw_ref.dtype)
+
+
+def _cascade_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *, block,
+                      halo, levels, r, interpret, precision=None):
+    """Pallas backward for the fused cascade branch. Returns the grads
+    (dx, [dx_add,] ds, dt, dw_qkv, drel_h, drel_w)."""
+    bsz, h, w, cb = x.shape
+    sf = 2 ** levels
+    c = cb * (4 ** levels)
+    win = block + 2 * halo
+    wc = w // sf
+    wp = wc + 2 * halo
+    has_add = x_add is not None
+    wq, wk, wv = (w_qkv[:, :c], w_qkv[:, c:2 * c], w_qkv[:, 2 * c:])
+
+    nh = h // (block * sf)
+    blk_full = block * sf
+    hs = halo * sf
+    gb = _pick_group(bsz, w, cb, c, block, halo, levels,
+                     extra_views=3 if has_add else 2, bwd=True)
+    pad_bottom = (nh + 1) * blk_full - h - hs
+    pads = ((0, 0), (hs, pad_bottom), (hs, hs), (0, 0))
+    xp = jnp.pad(x, pads)
+    wp_full = w + 2 * hs
+    ext = blk_full + 2 * hs
+
+    kernel = functools.partial(_cascade_bwd_kernel, block=block, halo=halo,
+                               wc=wc, levels=levels, precision=precision,
+                               h=h, w=w, r=float(r), has_add=has_add,
+                               bsz=bsz)
+    band_spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (gb, blk_full, wp_full, cb), lambda b, i, o=off: (b, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: tuple(0 for _ in shp), memory_space=pltpu.VMEM)
+    acc = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: tuple(0 for _ in shp), memory_space=pltpu.VMEM)
+    per_img = pl.BlockSpec((bsz, cb), lambda b, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xp, xp]
+    in_specs = [band_spec(0), band_spec(1)]
+    if has_add:
+        ap = jnp.pad(x_add, pads)
+        operands += [ap, ap]
+        in_specs += [band_spec(0), band_spec(1)]
+    operands += [gout]
+    in_specs += [pl.BlockSpec((gb, blk_full, w, cb),
+                              lambda b, i: (b, i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    operands += [s.astype(jnp.float32), t.astype(jnp.float32),
+                 wq, wk, wv, rel_h, rel_w]
+    in_specs += [per_img, per_img, const((c, c)), const((c, c)),
+                 const((c, c)), const((win, c // 2)), const((win, c // 2))]
+
+    scratch = []
+    if levels:
+        rows0 = win * sf
+        for l in range(levels + 1):  # z DWT pyramid (band geometry)
+            scratch.append(pltpu.VMEM(
+                (gb, rows0 >> l, wp_full >> l, cb * 4 ** l), jnp.float32))
+        for l in range(levels + 1):  # g DWT pyramid (block geometry)
+            scratch.append(pltpu.VMEM(
+                (gb, blk_full >> l, w >> l, cb * 4 ** l), jnp.float32))
+        for l in range(levels):  # dz IWT pyramid (band geometry)
+            scratch.append(pltpu.VMEM(
+                (gb, (win * 2) << l, (wp * 2) << l, c // 4 ** (l + 1)),
+                jnp.float32))
+
+    # dz bands leave in the model dtype (bf16 halves the double-buffered
+    # output blocks — the L=2 kernel otherwise misses the 16 MB scoped
+    # VMEM limit by ~0.15 MB inside the full training program); the
+    # overlap-add and the s/x reductions below run in f32
+    out_shapes = [
+        jax.ShapeDtypeStruct((bsz, nh, ext, wp_full, cb), x.dtype),
+        jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+        jax.ShapeDtypeStruct((win, c // 2), jnp.float32),
+        jax.ShapeDtypeStruct((win, c // 2), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((gb, 1, ext, wp_full, cb),
+                     lambda b, i: (b, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        acc((c, 3 * c)), acc((win, c // 2)), acc((win, c // 2)),
+    ]
+    dze, dw, drh, drw = pl.pallas_call(
+        kernel,
+        grid=(bsz // gb, nh),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+    # fold the overlapping extended bands: row r of band i is global padded
+    # row i*blk_full + r; two shifted adds cover the 2*hs overlaps
+    dze = dze.astype(jnp.float32)
+    main = dze[:, :, :blk_full].reshape(bsz, nh * blk_full, wp_full, cb)
+    tailp = jnp.pad(dze[:, :, blk_full:],
+                    ((0, 0), (0, 0), (0, blk_full - 2 * hs), (0, 0), (0, 0)))
+    tailp = tailp.reshape(bsz, nh * blk_full, wp_full, cb)
+    acc_rows = jnp.pad(main, ((0, 0), (0, blk_full), (0, 0), (0, 0))) \
+        + jnp.pad(tailp, ((0, 0), (blk_full, 0), (0, 0), (0, 0)))
+    dz = acc_rows[:, hs:hs + h, hs:hs + w, :]  # (bsz, h, w, cb) f32
+
+    xf = x.astype(jnp.float32)
+    dx = (dz * s.astype(jnp.float32)[:, None, None, :]).astype(x.dtype)
+    ds = jnp.sum(dz * xf, axis=(1, 2)).astype(s.dtype)
+    dt = jnp.sum(dz, axis=(1, 2)).astype(t.dtype)
+    dw_qkv = dw.astype(w_qkv.dtype)
+    drel_h = drh.astype(rel_h.dtype)
+    drel_w = drw.astype(rel_w.dtype)
+    if has_add:
+        dx_add = (r * dz).astype(x_add.dtype)
+        return dx, dx_add, ds, dt, dw_qkv, drel_h, drel_w
+    return dx, ds, dt, dw_qkv, drel_h, drel_w
+
+
 def _cascade_xla(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block, halo,
                  levels, r, precision=None):
     """XLA equivalent of the fused cascade branch (used for the backward
@@ -724,6 +1038,11 @@ def _make_cascade_fused(has_add: bool):
     wrapped = jax.custom_vjp(
         prim, nondiff_argnums=tuple(range(first_static, first_static + 6)))
 
+    def _use_pallas_bwd(x, levels, interpret):
+        c = x.shape[-1] * 4 ** levels
+        return _PALLAS_BWD and _banded_vmem_bytes(
+            x.shape[2], x.shape[-1], c, 8, 1, levels) <= _BANDED_VMEM_LIMIT
+
     if has_add:
         def fwd(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
                 r, interpret, precision):
@@ -733,6 +1052,11 @@ def _make_cascade_fused(has_add: bool):
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
             x, x_add, s, t, w_qkv, rel_h, rel_w = res
+            if _use_pallas_bwd(x, levels, interpret):
+                return _cascade_bwd_impl(
+                    x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, r=r, interpret=interpret,
+                    precision=precision)
             _, vjp = jax.vjp(
                 lambda *a: _cascade_xla(*a, block=block, halo=halo,
                                         levels=levels, r=r,
@@ -748,6 +1072,11 @@ def _make_cascade_fused(has_add: bool):
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
             x, s, t, w_qkv, rel_h, rel_w = res
+            if _use_pallas_bwd(x, levels, interpret):
+                return _cascade_bwd_impl(
+                    x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, r=r, interpret=interpret,
+                    precision=precision)
             _, vjp = jax.vjp(
                 lambda xx, ss, tt, ww, rh, rw: _cascade_xla(
                     xx, None, ss, tt, ww, rh, rw, block=block, halo=halo,

@@ -43,28 +43,43 @@ def test_cascade_branch_matches_xla(levels, with_add):
     assert float(np.abs(got - want).mean()) < 5e-3
 
 
-def test_cascade_branch_gradients():
-    x, w_qkv, rel, s, t, add = _mk(0, bsz=1, hw=16, seed=1)
+@pytest.mark.parametrize("levels,with_add,hw", [(0, True, 16), (0, False, 24),
+                                                (1, True, 32), (2, True, 32)])
+def test_cascade_branch_gradients(levels, with_add, hw):
+    """The Pallas backward kernel (recompute + reverse chain + overlap-add
+    scatter) must match the XLA vjp of the composition, for every wavelet
+    level, with and without the cascade input — including the rel-pos and
+    qkv weight grads and the per-image affine grads."""
+    x, w_qkv, rel, s, t, add = _mk(levels, bsz=2, hw=hw, seed=1)
 
-    def loss_fused(xx, aa, ss, tt, ww):
-        y = cftm_branch_fused(xx.astype(jnp.bfloat16),
-                              ww.astype(jnp.bfloat16), rel, rel, ss, tt,
-                              x_add=aa.astype(jnp.bfloat16), r=0.5,
-                              levels=0, interpret=True)
-        return (y.astype(jnp.float32) ** 2).mean()
+    def mk_loss(force_xla):
+        def loss(xx, aa, ss, tt, ww, rh, rw):
+            import m2trans_tpu.ops.pallas.halo_attn as ha
 
-    def loss_xla(xx, aa, ss, tt, ww):
-        y = _cascade_xla(xx.astype(jnp.bfloat16), aa.astype(jnp.bfloat16),
-                         ss, tt, ww.astype(jnp.bfloat16), rel, rel,
-                         block=8, halo=1, levels=0, r=0.5)
-        return (y.astype(jnp.float32) ** 2).mean()
+            old = ha._PALLAS_BWD
+            ha._PALLAS_BWD = not force_xla
+            try:
+                y = cftm_branch_fused(
+                    xx.astype(jnp.bfloat16), ww.astype(jnp.bfloat16),
+                    rh, rw, ss, tt,
+                    x_add=(aa.astype(jnp.bfloat16) if with_add else None),
+                    r=0.5, levels=levels, interpret=True)
+            finally:
+                ha._PALLAS_BWD = old
+            return (y.astype(jnp.float32) ** 2).mean()
+        return loss
 
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, add, s, t, w_qkv)
-    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, add, s, t, w_qkv)
-    for a, b in zip(gf, gx):
-        np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b, np.float32),
-                                   atol=1e-3, rtol=1e-2)
+    args = (x, add, s, t, w_qkv, rel, rel)
+    gf = jax.grad(mk_loss(False), argnums=tuple(range(7)))(*args)
+    gx = jax.grad(mk_loss(True), argnums=tuple(range(7)))(*args)
+    names = ("dx", "dx_add", "ds", "dt", "dw_qkv", "drel_h", "drel_w")
+    for name, a, b in zip(names, gf, gx):
+        if not with_add and name == "dx_add":
+            continue
+        bb = np.asarray(b, np.float32)
+        tol = max(2e-3, 2e-2 * float(np.abs(bb).max()))
+        np.testing.assert_allclose(np.asarray(a, np.float32), bb,
+                                   atol=tol, err_msg=name)
 
 
 def test_cftm_fused_module_matches_plain(rng):
