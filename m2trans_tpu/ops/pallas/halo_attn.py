@@ -25,11 +25,13 @@ i = all of full-res row block i (8*2^L rows) plus the first 2*halo*2^L
 rows of block i+1 — which the Pallas pipeline prefetches like any other
 blocked input.
 
-Backward: jax.custom_vjp whose bwd re-runs the XLA composition (correct;
-training time is conv-dominated). Numerical parity with the XLA path is
-tested in interpret mode on CPU and compiled on real TPU. bf16 is the
-intended dtype (HIGHEST-precision multi-pass matmuls stall the remote
-Mosaic compiler; f32 parity eval uses the XLA path).
+Backward: jax.custom_vjp whose bwd is ALSO a Pallas kernel
+(_cascade_bwd_kernel) — in-VMEM forward recompute + reverse chain; the
+XLA composition remains as the over-VMEM fallback and the reference for
+the gradient parity tests. Numerical parity with the XLA path is tested
+in interpret mode on CPU and compiled on real TPU. bf16 is the intended
+dtype (HIGHEST-precision multi-pass matmuls stall the remote Mosaic
+compiler; f32 parity eval uses the XLA path).
 """
 
 from __future__ import annotations
@@ -750,8 +752,8 @@ def _unpatch(pat, *, block, halo, wp):
 
 
 def _cascade_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
-                        precision, h: int, w: int, r: float, has_add: bool,
-                        bsz: int):
+                        precision, h: int, w: int, r: float,
+                        has_add: bool):
     if has_add:
         (xa, xb, aa, ab, ga, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
          relh_ref, relw_ref, dze_ref, dw_ref, drh_ref, drw_ref,
@@ -904,8 +906,7 @@ def _cascade_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *, block,
 
     kernel = functools.partial(_cascade_bwd_kernel, block=block, halo=halo,
                                wc=wc, levels=levels, precision=precision,
-                               h=h, w=w, r=float(r), has_add=has_add,
-                               bsz=bsz)
+                               h=h, w=w, r=float(r), has_add=has_add)
     band_spec = lambda off: pl.BlockSpec(  # noqa: E731
         (gb, blk_full, wp_full, cb), lambda b, i, o=off: (b, i + o, 0, 0),
         memory_space=pltpu.VMEM)
@@ -1038,10 +1039,11 @@ def _make_cascade_fused(has_add: bool):
     wrapped = jax.custom_vjp(
         prim, nondiff_argnums=tuple(range(first_static, first_static + 6)))
 
-    def _use_pallas_bwd(x, levels, interpret):
+    def _use_pallas_bwd(x, block, halo, levels):
         c = x.shape[-1] * 4 ** levels
         return _PALLAS_BWD and _banded_vmem_bytes(
-            x.shape[2], x.shape[-1], c, 8, 1, levels) <= _BANDED_VMEM_LIMIT
+            x.shape[2], x.shape[-1], c, block, halo,
+            levels) <= _BANDED_VMEM_LIMIT
 
     if has_add:
         def fwd(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
@@ -1052,7 +1054,7 @@ def _make_cascade_fused(has_add: bool):
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
             x, x_add, s, t, w_qkv, rel_h, rel_w = res
-            if _use_pallas_bwd(x, levels, interpret):
+            if _use_pallas_bwd(x, block, halo, levels):
                 return _cascade_bwd_impl(
                     x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
                     halo=halo, levels=levels, r=r, interpret=interpret,
@@ -1072,7 +1074,7 @@ def _make_cascade_fused(has_add: bool):
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
             x, s, t, w_qkv, rel_h, rel_w = res
-            if _use_pallas_bwd(x, levels, interpret):
+            if _use_pallas_bwd(x, block, halo, levels):
                 return _cascade_bwd_impl(
                     x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
                     halo=halo, levels=levels, r=r, interpret=interpret,
