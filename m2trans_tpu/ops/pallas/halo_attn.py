@@ -446,14 +446,22 @@ def _banded_vmem_bytes(w, cb, c, block, halo, levels, g=1):
     return total
 
 
-# Gate calibrated against observed failures: W=256/L=2 OOM'd the 16 MB
-# VMEM (estimate 28.2M, actual 16.22M) and W=512/L=0 OOM'd with an ~17M
-# estimate — the overshoot factor varies by level, so gate conservatively.
-# The flagship band shapes (W<=96..192) all estimate under 11M and are
-# unaffected. Beyond the gate, fall back to the XLA composition (correct,
-# slower) — genuinely large frames should use spatial sharding, which
-# splits H, or a future width-blocked kernel (NOTES_ROUND2.md).
+# Gate calibrated against observed failures AND per-level wins: W=256/L=2
+# OOM'd the 16 MB VMEM (estimate 28.2M, actual 16.22M) and W=512/L=0
+# OOM'd with an ~17M estimate — the estimator's overshoot varies by
+# level, so the gate is per-level. L=1 allows W=192 (est 13.3M): the
+# banded kernel measured 2x faster than the XLA composition there
+# (5.05 vs 10.33 ms/call; relevant for the x2 model whose body runs at
+# 192^2), while L=0/W=192 and L=2/W=128 measured SLOWER than XLA and
+# L=2/W=192 fails to compile. Beyond the gate, fall back to the XLA
+# composition (correct, slower) — genuinely large frames should use
+# spatial sharding, which splits H (NOTES_ROUND3.md item 3).
 _BANDED_VMEM_LIMIT = 12 * 1024 * 1024
+_BANDED_VMEM_LIMITS = {1: 14 * 1024 * 1024}
+
+
+def _banded_limit(levels: int) -> int:
+    return _BANDED_VMEM_LIMITS.get(levels, _BANDED_VMEM_LIMIT)
 
 
 def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
@@ -465,7 +473,8 @@ def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
         return _halo_attention_whole_impl(
             x, w_qkv, rel_h, rel_w, block=block, halo=halo, levels=levels,
             interpret=interpret, precision=precision)
-    if _banded_vmem_bytes(w, cb, c, block, halo, levels) > _BANDED_VMEM_LIMIT:
+    if _banded_vmem_bytes(w, cb, c, block, halo,
+                          levels) > _banded_limit(levels):
         # Measured on v5e: for over-limit widths the XLA composition beats
         # the width-blocked tiled kernel (256^2 frame: 855 ms vs 1294 ms
         # p50 — slab padding waste + 4-view reads). The tiled variant
@@ -1014,7 +1023,7 @@ def _make_cascade_fused(has_add: bool):
                   r, interpret, precision):
         c = x.shape[-1] * 4 ** levels
         if _banded_vmem_bytes(x.shape[2], x.shape[-1], c, block, halo,
-                              levels) > _BANDED_VMEM_LIMIT:
+                              levels) > _banded_limit(levels):
             return _cascade_xla(x, x_add, s, t, w_qkv, rel_h, rel_w,
                                 block=block, halo=halo, levels=levels,
                                 r=r, precision=precision)
@@ -1043,7 +1052,7 @@ def _make_cascade_fused(has_add: bool):
         c = x.shape[-1] * 4 ** levels
         return _PALLAS_BWD and _banded_vmem_bytes(
             x.shape[2], x.shape[-1], c, block, halo,
-            levels) <= _BANDED_VMEM_LIMIT
+            levels) <= _banded_limit(levels)
 
     if has_add:
         def fwd(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,

@@ -245,14 +245,14 @@ def fused_gate_ok(w: int, n_feats: int) -> bool:
     gate at frame width ``w`` (the gate scales with W — bands span the full
     width). Beyond it the branches fall back to the slower XLA composition."""
     from m2trans_tpu.ops.pallas.halo_attn import (
-        _BANDED_VMEM_LIMIT,
+        _banded_limit,
         _banded_vmem_bytes,
     )
 
     cb = n_feats // 4
     for levels in (0, 1, 2):
         c = cb * 4 ** levels
-        if _banded_vmem_bytes(w, cb, c, 8, 1, levels) > _BANDED_VMEM_LIMIT:
+        if _banded_vmem_bytes(w, cb, c, 8, 1, levels) > _banded_limit(levels):
             return False
     return True
 
