@@ -84,3 +84,24 @@ def test_bucketed_eval_close_to_exact(synthetic_benchmark, rng):
     bucketed = evaluate_all(params, cfg, eval_sets, bucket=64)["CCA-US"]
     assert abs(exact["psnr"] - bucketed["psnr"]) < 0.3
     assert abs(exact["ssim"] - bucketed["ssim"]) < 0.01
+
+
+def test_evaluate_dataset_bf16_fast_path(rng):
+    """The eval runner over the bf16+Pallas fast path (the serving
+    configuration), full metrics included."""
+    import jax.numpy as jnp
+
+    from m2trans_tpu.models.m2trans import ComputePolicy
+    from m2trans_tpu.train.evaluate import evaluate_dataset, make_forward_fn
+
+    cfg = Config(scale=2, n_feats=8, n_blocks=1, colors=3)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    ds = [(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32),
+           rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32),
+           f"im{i}.png") for i in range(2)]
+    pol = ComputePolicy(dtype=jnp.bfloat16, precision=None, use_pallas=True)
+    out = evaluate_dataset(params, cfg, ds,
+                           forward_fn=make_forward_fn(cfg, policy=pol),
+                           full_metrics=True)
+    assert set(out) == {"psnr", "ssim", "fsim", "gmsd"}
+    assert 0 < out["psnr"] < 60 and 0 <= out["ssim"] <= 1
