@@ -63,14 +63,16 @@ def main() -> None:
 
         mesh = Mesh(np.array(jax.devices()[: args.mesh_space]), ("space",))
     elif args.mesh_space == 0:
-        from m2trans_tpu.parallel.spatial import auto_space_mesh
+        from m2trans_tpu.parallel.spatial import auto_space_mesh_multi
 
-        h, w = frames[0].shape[1], frames[0].shape[2]
-        mesh = auto_space_mesh(
-            h, w, cfg, policy or StreamingSR.default_policy())
+        # consider every distinct frame shape so the chosen shard count
+        # divides all padded heights (mixed-size cine directories)
+        shapes = sorted({(f.shape[1], f.shape[2]) for f in frames})
+        mesh = auto_space_mesh_multi(
+            shapes, cfg, policy or StreamingSR.default_policy())
         if mesh is not None:
             print(f"## auto spatial sharding: {mesh.shape['space']} shards "
-                  f"over H for {h}x{w} frames ##")
+                  f"over H for {len(shapes)} frame shape(s) ##")
 
     runner = StreamingSR(params, cfg, mesh=mesh, policy=policy)
 

@@ -315,15 +315,22 @@ def _cftm_apply_fused(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
     return ff + x.astype(policy.dtype)
 
 
-def _tail_band_fits(w: int, scale: int, nf: int,
-                    limit: float = 13e6) -> bool:
+def _tail_band_fits(h: int, w: int, scale: int, nf: int,
+                    limit: Optional[float] = None) -> bool:
     """VMEM estimate for the fused band tail: the f32 phase band + stage
-    transient + conv windows dominate and all scale linearly with W."""
+    transient + conv windows scale linearly with W; the reflect-edge
+    columns (lc/rc, loaded whole) scale linearly with H (ADVICE r2: a
+    tall-narrow frame must not pass on W alone)."""
+    if limit is None:
+        from m2trans_tpu.ops.pallas.device import gate_profile
+
+        limit = gate_profile()["tail_limit"]
     cp = scale * scale * nf
     band = 10 * (w + 2) * cp * 4  # f32 phase band (ph; mid freed into it)
     stage = 10 * w * cp * 4       # f32 stage transient
     win = 8 * w * cp * 2          # bf16 conv window
-    return band + stage + win + 3e6 < limit
+    edges = 2 * (h + 2 * 8) * cp * 4 + 2 * (w + 2) * cp * 4  # lc/rc+top/bot
+    return band + stage + win + edges + 3e6 < limit
 
 
 def _conv_ps_gelu(x, w, b, r, kw):
@@ -348,8 +355,8 @@ def tail_apply(p: Params, x: jnp.ndarray, *, scale: int,
     the XLA composition (ops/tail_phase.py). f32 parity mode keeps the
     conv->shuffle composition (bit-stable against the golden files)."""
     if policy.dtype == jnp.bfloat16:
-        if policy.use_pallas and _tail_band_fits(x.shape[2], scale,
-                                                 x.shape[-1]):
+        if policy.use_pallas and _tail_band_fits(x.shape[1], x.shape[2],
+                                                 scale, x.shape[-1]):
             from m2trans_tpu.ops.pallas.tail_band import tail_band_apply
 
             return tail_band_apply(p, x, scale=scale, rgb_range=rgb_range,

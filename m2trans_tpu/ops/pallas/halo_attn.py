@@ -456,12 +456,15 @@ def _banded_vmem_bytes(w, cb, c, block, halo, levels, g=1):
 # L=2/W=192 fails to compile. Beyond the gate, fall back to the XLA
 # composition (correct, slower) — genuinely large frames should use
 # spatial sharding, which splits H (NOTES_ROUND3.md item 3).
-_BANDED_VMEM_LIMIT = 12 * 1024 * 1024
-_BANDED_VMEM_LIMITS = {1: 14 * 1024 * 1024}
+# The limits live in the device-keyed calibration table (device.py):
+# uncalibrated TPU generations get shrunk budgets and degrade to XLA.
 
 
 def _banded_limit(levels: int) -> int:
-    return _BANDED_VMEM_LIMITS.get(levels, _BANDED_VMEM_LIMIT)
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    prof = gate_profile()
+    return prof["banded_limits"].get(levels, prof["banded_limit_default"])
 
 
 def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
@@ -499,7 +502,7 @@ def _halo_attention_tiled_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
     # largest slab (multiple of the full-res block unit) whose band fits
     slab = (w // blk_full) * blk_full
     while slab > blk_full and _banded_vmem_bytes(
-            slab, cb, c, block, halo, levels) > _BANDED_VMEM_LIMIT:
+            slab, cb, c, block, halo, levels) > _banded_limit(levels):
         slab -= blk_full
     nwb = -(-w // slab)
     nh = h // blk_full
@@ -544,8 +547,14 @@ def _halo_attention_tiled_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
 # flagship w=96 shapes (the estimator's absolute scale is ~2x conservative
 # and level-dependent): L=0 runs g=4 2.8x faster than g=1 (est 24.5 MB,
 # compiles and runs; g=8 at est 48.9 MB OOMs the remote compiler); L=1
-# measured no win from g=2 and L=2 g=2 (est 23.9 MB) OOMs — both stay g=1.
-_GROUP_BUDGET = {0: 25e6, 1: 7e6, 2: 12e6}
+# measured no win from g=2 and L=2 g=2 (est 23.9 MB) OOMs — both stay
+# g=1. Budgets live in the device-keyed table (device.py).
+
+
+def _group_budget(levels: int) -> float:
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    return gate_profile()["group_budget"].get(levels, 0.0)
 
 
 def _pick_group(bsz: int, w, cb, c, block, halo, levels,
@@ -556,7 +565,7 @@ def _pick_group(bsz: int, w, cb, c, block, halo, levels,
     counted at the same double-buffered footprint. The backward kernel
     roughly doubles the live set (recompute + grads), so it gets half the
     budget."""
-    budget = _GROUP_BUDGET.get(levels, 0.0)
+    budget = _group_budget(levels)
     if bwd:
         budget *= 0.5
     sfull = 2 ** levels

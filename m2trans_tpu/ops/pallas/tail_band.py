@@ -99,8 +99,8 @@ def _kernel(y_a, y_b, lc_ref, rc_ref, top_ref, bot_ref, w0_ref, b0_ref,
     # splice the precomputed reflect-remapped edge columns (f32 inputs),
     # then the top/bottom remapped rows on the frame's first/last band
     ph = jnp.pad(mid, ((0, 0), (1, 1), (0, 0)))
-    lc = lc_ref[0, pl.ds(i * _BLOCK, rows), 0, :]  # (rows, cp)
-    rc = rc_ref[0, pl.ds(i * _BLOCK, rows), 0, :]
+    lc = lc_ref[0, pl.ds(i * _BLOCK, rows), :]  # (rows, cp)
+    rc = rc_ref[0, pl.ds(i * _BLOCK, rows), :]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w + 2, 1), 1)
     ph = jnp.where(col_ids == 0, lc[:, None, :], ph)
     ph = jnp.where(col_ids == w + 1, rc[:, None, :], ph)
@@ -153,8 +153,11 @@ def tail_band_fused(y, w0, b0, w1, b1, k, lc, rc, top, bot, *, scale: int,
         grid=(bsz, nh),
         in_specs=[
             band(0), band(1),
-            full((1, (nh + 1) * _BLOCK, 1, cp)),   # left col (yph rows)
-            full((1, (nh + 1) * _BLOCK, 1, cp)),   # right col
+            # edge columns carried as (B, rows, cp) 3-D — a trailing
+            # (1, cp) block would sublane-pad 8x in VMEM, making the edge
+            # operands scale as 8*H*cp*4 bytes on tall frames (ADVICE r2)
+            full((1, (nh + 1) * _BLOCK, cp)),      # left col (yph rows)
+            full((1, (nh + 1) * _BLOCK, cp)),      # right col
             full((1, 1, w + 2, cp)),               # top remapped row
             full((1, 1, w + 2, cp)),               # bottom remapped row
             const(w0.shape), const(b0.shape),
@@ -193,6 +196,7 @@ def _tail_band_impl(p: Params, x: jnp.ndarray, scale: int,
                                    precision=precision,
                                    pad_rows=(x.shape[1] // _BLOCK + 1)
                                    * _BLOCK)
+    lc, rc = lc[:, :, 0, :], rc[:, :, 0, :]  # (B, rows, cp)
     out = tail_band_fused(x, w0, b0, w1, b1, k, lc, rc, top, bot,
                           scale=scale, rgb_range=rgb_range,
                           interpret=interpret, precision=precision)

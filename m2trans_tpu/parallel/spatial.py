@@ -240,10 +240,13 @@ def _build_sharded_fwd(mesh: Mesh, model_key, policy: ComputePolicy,
     return jax.jit(fwd)
 
 
-def fused_gate_ok(w: int, n_feats: int) -> bool:
+def fused_gate_ok(w: int, n_feats: int, block: int = 8,
+                  halo: int = 1) -> bool:
     """True if every CFTM branch level fits the Pallas banded-kernel VMEM
     gate at frame width ``w`` (the gate scales with W — bands span the full
-    width). Beyond it the branches fall back to the slower XLA composition."""
+    width). Beyond it the branches fall back to the slower XLA composition.
+    ``block``/``halo`` must match what the model threads into the kernels
+    (cfg.block_size / cfg.halo_size — ADVICE r2)."""
     from m2trans_tpu.ops.pallas.halo_attn import (
         _banded_limit,
         _banded_vmem_bytes,
@@ -252,7 +255,8 @@ def fused_gate_ok(w: int, n_feats: int) -> bool:
     cb = n_feats // 4
     for levels in (0, 1, 2):
         c = cb * 4 ** levels
-        if _banded_vmem_bytes(w, cb, c, 8, 1, levels) > _banded_limit(levels):
+        if _banded_vmem_bytes(w, cb, c, block, halo,
+                              levels) > _banded_limit(levels):
             return False
     return True
 
@@ -275,24 +279,46 @@ def auto_space_mesh(h: int, w: int, cfg: Config,
     32-row units — each shard carries 1/n of the compute, so large-frame
     p50 latency drops ~n-fold even where the per-shard width still takes
     the XLA branch path (the gate scales with W, not H)."""
+    return auto_space_mesh_multi([(h, w)], cfg, policy, devices)
+
+
+def auto_space_mesh_multi(shapes, cfg: Config,
+                          policy: Optional[ComputePolicy] = None,
+                          devices=None) -> Optional[Mesh]:
+    """auto_space_mesh over a SET of (h, w) frame shapes (a mixed-size cine
+    directory): engages if any frame wants sharding, with a shard count
+    that divides EVERY frame's padded height — a mesh picked from one
+    frame must not make another frame raise mid-stream (ADVICE r2).
+
+    Defaults to ``jax.local_devices()``: the callers feed host-local
+    arrays, so in a multi-host run a mesh over non-addressable global
+    devices could not be used (ADVICE r2)."""
+    import math
+
+    import numpy as _np
+
     if policy is None:
         policy = policy_from_config(cfg)
     if policy.dtype != jnp.bfloat16:
         return None
-    import numpy as _np
-
-    devices = list(devices if devices is not None else jax.devices())
+    devices = list(devices if devices is not None else jax.local_devices())
     if len(devices) < 2:
         return None
-    big = (policy.use_pallas and not fused_gate_ok(w, cfg.n_feats)) \
-        or h * w >= _AUTO_PX_THRESHOLD
+    mult = cfg.pad_multiple
+    big = False
+    units_gcd = 0
+    for h, w in shapes:
+        big = big or (policy.use_pallas
+                      and not fused_gate_ok(w, cfg.n_feats, cfg.block_size,
+                                            cfg.halo_size)) \
+            or h * w >= _AUTO_PX_THRESHOLD
+        units = (h + (mult - h % mult) % mult) // mult  # padded 32-row units
+        units_gcd = math.gcd(units_gcd, units)
     if not big:
         return None
-    mult = cfg.pad_multiple
-    units = (h + (mult - h % mult) % mult) // mult  # padded 32-row units
     n = 1
-    for cand in range(2, min(len(devices), units) + 1):
-        if units % cand == 0:
+    for cand in range(2, min(len(devices), units_gcd) + 1):
+        if units_gcd % cand == 0:
             n = cand
     if n < 2:
         return None

@@ -191,6 +191,12 @@ class Trainer:
             # global array. Decode-and-discard of the non-local slice is
             # accepted at this model's data rates (SURVEY.md §2.5).
             pc, pi = jax.process_count(), jax.process_index()
+            if lr.shape[0] % pc:
+                raise ValueError(
+                    f"global batch {lr.shape[0]} must divide evenly over "
+                    f"{pc} hosts — integer truncation would silently drop "
+                    f"trailing samples (set batch_size to a multiple of "
+                    f"process_count)")
             shard = lr.shape[0] // pc
             lo = pi * shard
             lr = jax.make_array_from_process_local_data(

@@ -152,3 +152,59 @@ def test_make_forward_fn_auto_dispatch_matches_single(rng, monkeypatch):
     s_want = np.asarray(m2trans_apply(params, small, cfg, policy=policy))
     np.testing.assert_allclose(s_got.astype(np.float32),
                                s_want.astype(np.float32), atol=2e-2)
+
+
+def test_auto_space_mesh_multi_mixed_shapes():
+    """ADVICE r2: a mesh picked for a mixed-shape cine directory must pick
+    a shard count dividing EVERY frame's padded height."""
+    from m2trans_tpu.models.m2trans import ComputePolicy
+    from m2trans_tpu.parallel import spatial
+
+    cfg = Config(scale=4, n_feats=64, n_blocks=8)
+    bf16 = ComputePolicy(dtype=jnp.bfloat16, precision=None, use_pallas=True)
+    devs = jax.devices()
+
+    # 512 -> 16 units, 300 -> 10 units; gcd 2 -> n=2 even though the 512^2
+    # frame alone would pick 8
+    mesh = spatial.auto_space_mesh_multi([(512, 512), (300, 512)], cfg,
+                                         bf16, devices=devs)
+    assert mesh is not None and mesh.shape["space"] == 2
+    # coprime unit counts -> no shared divisor -> stay single-chip
+    mesh = spatial.auto_space_mesh_multi([(512, 512), (96 * 3, 512)], cfg,
+                                         bf16, devices=devs)
+    assert mesh is None or mesh.shape["space"] == 1
+    # single big shape delegates to the same decision as auto_space_mesh
+    m1 = spatial.auto_space_mesh_multi([(512, 512)], cfg, bf16, devices=devs)
+    m2 = spatial.auto_space_mesh(512, 512, cfg, bf16, devices=devs)
+    assert m1.shape == m2.shape
+
+
+def test_gate_profile_device_keyed():
+    """VERDICT r2 item 7: kernel gates come from a device-keyed table; an
+    uncalibrated TPU generation gets shrunk budgets (degrade-to-XLA, not
+    OOM)."""
+    from m2trans_tpu.ops.pallas import device as dev_mod
+
+    v5e = dev_mod._V5E
+    # CPU backend (this test env) -> the deterministic v5e table
+    assert dev_mod.gate_profile() == v5e
+    # unknown TPU generation -> every budget strictly shrunk
+    scaled = dev_mod._scaled(v5e, dev_mod._UNKNOWN_TPU_SCALE)
+    assert scaled["banded_limit_default"] < v5e["banded_limit_default"]
+    assert all(scaled["group_budget"][k] < v5e["group_budget"][k]
+               for k in v5e["group_budget"])
+    assert scaled["tail_limit"] < v5e["tail_limit"]
+    # the halo_attn gates consult the table
+    from m2trans_tpu.ops.pallas.halo_attn import _banded_limit
+    assert _banded_limit(1) == v5e["banded_limits"][1]
+    assert _banded_limit(0) == v5e["banded_limit_default"]
+
+
+def test_tail_band_gate_h_dependent():
+    """ADVICE r2 (medium): the fused-tail gate must reject tall-narrow
+    frames whose edge-column operands alone would blow VMEM."""
+    from m2trans_tpu.models.m2trans import _tail_band_fits
+
+    assert _tail_band_fits(96, 96, 4, 64)
+    # H ~ 10000 at W=96: edge columns ~ 2*10016*1024*4 = 82 MB -> reject
+    assert not _tail_band_fits(10000, 96, 4, 64)
