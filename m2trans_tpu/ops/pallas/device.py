@@ -35,6 +35,12 @@ _V5E = {
     # so the limit moves up by that much. W=512 (est ~21e6 on the band
     # term alone) stays rejected.
     "tail_limit": 16e6,
+    # Lane-packed cascade kernel (halo_attn_packed.py) VMEM budgets per
+    # DWT level, v5e-measured at W=96/B=8: L=0 g=8 (est 17.8M) compiles
+    # and runs 3.3x the banded kernel (0.146 vs 0.482 ms/call); L=1 g=4
+    # (est 13.5M) runs 2.6x (0.068 vs 0.175). L=2 packing measured
+    # SLOWER (13.4 vs 4.4 ms chain at g=2) -> no budget = disabled.
+    "packed_budget": {0: 20e6, 1: 15e6},
 }
 
 # device_kind prefix (lowercased) -> calibration
@@ -48,13 +54,12 @@ _UNKNOWN_TPU_SCALE = 0.75
 
 
 def _scaled(cal: dict, f: float) -> dict:
-    return {
-        "banded_limit_default": int(cal["banded_limit_default"] * f),
-        "banded_limits": {k: int(v * f)
-                          for k, v in cal["banded_limits"].items()},
-        "group_budget": {k: v * f for k, v in cal["group_budget"].items()},
-        "tail_limit": cal["tail_limit"] * f,
-    }
+    def sc(v):
+        return int(v * f) if isinstance(v, int) else v * f
+
+    return {k: ({kk: sc(vv) for kk, vv in v.items()}
+                if isinstance(v, dict) else sc(v))
+            for k, v in cal.items()}
 
 
 @functools.lru_cache(maxsize=1)

@@ -1030,6 +1030,18 @@ def _cascade_xla(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block, halo,
 def _make_cascade_fused(has_add: bool):
     def _dispatch(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
                   r, interpret, precision):
+        from m2trans_tpu.ops.pallas.halo_attn_packed import (
+            packed_cascade_impl,
+            pick_pack_g,
+        )
+
+        g = pick_pack_g(x.shape[0], x.shape[2], x.shape[-1], levels,
+                        block, halo)
+        if g > 1:
+            return packed_cascade_impl(
+                x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
+                halo=halo, levels=levels, g=g, r=r, interpret=interpret,
+                precision=precision)
         c = x.shape[-1] * 4 ** levels
         if _banded_vmem_bytes(x.shape[2], x.shape[-1], c, block, halo,
                               levels) > _banded_limit(levels):

@@ -1,0 +1,491 @@
+"""Lane-packed fused CFTM cascade branch — Pallas TPU kernel (round 3).
+
+The round-2 banded kernels (halo_attn.py) are op-issue-bound, not
+FLOP/HBM-bound: branch1 (C=16) runs every VPU op at 16/128 lane occupancy
+and issues ~100 tiny K=16 MXU matmuls per band, and per-call time is
+schedule-invariant at ~0.48 ms (NOTES_ROUND3.md item 1). This kernel
+removes the wall structurally by PACKING G batch images onto the lane
+axis:
+
+  * the input is pre-transposed in XLA to (B/G, H, W, G*cb) — every VPU
+    op (affine, masks, DWT adds, patch builds, softmax) then processes G
+    images per instruction at G*cb/128 lane occupancy, and the VMEM
+    blocks stop paying the 128/cb lane-padding tax (the very tax that
+    forced the W-gates on the x2/x3 shapes);
+  * the qkv projection becomes ONE matmul against a block-diagonal
+    packed weight W_p (G*C, 3*G*C) — per-image weights on the diagonal,
+    exact zeros elsewhere, so results match the per-image projections;
+  * the per-window attention contracts per image WITHOUT unpacking via a
+    block-diagonal stacked-query trick: the packed per-window query
+    q_p (bb, G*C) is replicated G times along rows and masked to
+    Q_bd[i*bb+m, p] = q_p[m, p] * (slot(p) == i); then ONE batched dot
+      Q_bd (nw, G*bb, G*C) @ K_p^T (nw, G*C, win^2)
+    yields every image's logits stacked on the M axis (cross-image lanes
+    contract against exact zeros). Softmax runs on the stacked rows, and
+    the attn @ V_p dot computes all images at once; the per-image output
+    is the slot-diagonal of the (G*bb, G*C) result, extracted with one
+    masked reduction. nw batched (M=G*bb, K=G*C) matmuls replace G*nw
+    tiny (M=bb, K=C) ones.
+
+Packed channel layout ("p-layout"): full-res packed channel
+p = slot*cb + c; after DWT^L the coarse packed channel is
+p = s*(G*cb) + slot*cb + c for subband s (DWT concatenates subband
+blocks, each G*cb wide). A per-image coarse channel is d = s*cb + c, so
+slot(p) = (p % (G*cb)) // cb — pure iota arithmetic in-kernel; the
+packed weight / rel-bias permutations are static numpy index maps
+applied in XLA (pack_branch_weights).
+
+Semantics match halo_attn.cftm_branch_fused (reference CFTM.forward
+models/M2Trans_network.py:132-164 per branch, TBlock :290-340) to f32-
+accumulation association noise; parity is tested in interpret mode
+against the XLA composition (tests/test_pallas_packed.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from m2trans_tpu.ops.pallas.halo_attn import (
+    _affine_band,
+    _is_tpu_backend,
+    _window_patches,
+)
+
+
+def _slot_of_packed(cb: int, g: int, n: int) -> np.ndarray:
+    """slot index of each packed channel p in a width-n packed block
+    (n a multiple of g*cb, p-layout)."""
+    p = np.arange(n)
+    return (p % (g * cb)) // cb
+
+
+def _d_of_packed(cb: int, g: int, n: int) -> np.ndarray:
+    """per-image channel d = s*cb + c of each packed channel p."""
+    p = np.arange(n)
+    return (p // (g * cb)) * cb + (p % cb)
+
+
+def pack_branch_weights(w_qkv, rel_h, rel_w, *, cb: int, g: int,
+                        levels: int):
+    """Packed projection weight and rel biases for a G-image lane pack.
+
+    Returns (w_p, relh_p, relw_p):
+      w_p    (G*C, 3*G*C): block-diagonal per-slot qkv in p-layout on both
+             axes (the q/k/v thirds each packed independently);
+      relh_p (win_rows_dim..) -> (rel_h.shape[0], 2*G*C) bias added to the
+             fused [k|v] tensor before window patching (k first half);
+      relw_p same shape, added after patching (k second half).
+    """
+    c = cb * 4 ** levels
+    gc = g * c
+    ns = 4 ** levels
+
+    # w_p[p_in, j*GC + p_out] = w_qkv[d(p_in), j*C + d(p_out)]
+    #                           * (slot(p_in) == slot(p_out)).
+    # Built as one broadcast-multiply against eye(G) over the (s, slot, c)
+    # factorization of the p-layout — a static GATHER formulation lowers
+    # to ~0.17 ms/call of TPU gather ops (profiled), this fuses to one
+    # elementwise pass.
+    eye = jnp.eye(g, dtype=w_qkv.dtype)
+    parts = []
+    for j in range(3):
+        wj = w_qkv[:, j * c:(j + 1) * c].reshape(ns, cb, ns, cb)
+        # (s_in, slot_in, c_in, s_out, slot_out, c_out)
+        wp6 = jnp.einsum("abcd,ij->aibcjd", wj, eye)
+        parts.append(wp6.reshape(gc, gc))
+    w_p = jnp.concatenate(parts, axis=1)
+
+    win = rel_h.shape[0]
+    c2 = c // 2
+    zeros = jnp.zeros((win, gc), rel_h.dtype)
+
+    def tile_k(rel, half):
+        # bias over the k block in p-layout: d < c2 (half 0) / d >= c2
+        # (half 1) gets rel[:, d mod c2]; the complementary half is 0.
+        # rel (win, c2) with c2 = (ns * cb) / 2: factor as (ns/2, cb) [or
+        # (1, cb/2) halves for L=0] and broadcast over slots.
+        if ns == 1:
+            relk = jnp.concatenate([rel, jnp.zeros_like(rel)]
+                                   if half == 0 else
+                                   [jnp.zeros_like(rel), rel], axis=1)
+            r3 = relk.reshape(win, 1, 1, c)
+            out = jnp.broadcast_to(r3, (win, 1, g, c))
+            return out.reshape(win, gc)
+        r3 = rel.reshape(win, ns // 2, 1, cb)
+        out = jnp.broadcast_to(r3, (win, ns // 2, g, cb))
+        out = out.reshape(win, gc // 2)
+        z2 = jnp.zeros((win, gc // 2), rel.dtype)
+        return jnp.concatenate([out, z2] if half == 0 else [z2, out],
+                               axis=1)
+
+    relh_p = jnp.concatenate([tile_k(rel_h, 0), zeros], axis=1)
+    relw_p = jnp.concatenate([tile_k(rel_w, 1), zeros], axis=1)
+    return w_p, relh_p, relw_p
+
+
+def _attend_packed(q_full, kv_full, relw_p, *, block, halo, wc, g, cb,
+                   levels, precision):
+    """Packed per-band attention: one stacked-query qk dot, one wide
+    softmax, one av dot, one masked diagonal extraction.
+
+    q_full  (block, wc, GC) scaled queries (f32);
+    kv_full (win, wp, 2*GC) fused k|v with relh added (f32);
+    relw_p  (win, 2*GC) window-column bias (k second half).
+    Returns (block, wc, GC) f32."""
+    win = block + 2 * halo
+    c = cb * 4 ** levels
+    gc = g * c
+    nw = wc // block
+    bb = block * block
+
+    kvb = _window_patches(kv_full[None], block=block, halo=halo, wc=wc)[0]
+    kvb = kvb + relw_p[None, None, :, :]          # (nw, win, win, 2GC)
+    kvb = kvb.reshape(nw, win * win, 2 * gc)
+    kb = kvb[..., :gc]
+    vb = kvb[..., gc:]
+
+    qb = q_full.reshape(block, nw, block, gc).transpose(1, 0, 2, 3)
+    qb = qb.reshape(nw, bb, gc)
+    # stacked block-diagonal queries: row block i keeps only slot i lanes
+    # (slot(p) = (p % (g*cb)) // cb — the p-layout repeats every g*cb
+    # lanes in blocks of cb)
+    qs = jnp.concatenate([qb] * g, axis=1)        # (nw, G*bb, GC)
+    row_slot = jax.lax.broadcasted_iota(jnp.int32, (g * bb, gc), 0) // bb
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g * bb, gc), 1)
+    lane_slot = (lane % (g * cb)) // cb
+    bd = (row_slot == lane_slot)
+    qs = jnp.where(bd[None], qs, 0.0)
+
+    sim = jax.lax.dot_general(
+        qs, kb, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    sim = sim - jnp.max(sim, axis=-1, keepdims=True)
+    e = jnp.exp(sim)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)   # (nw, G*bb, win^2)
+
+    r = jax.lax.dot_general(
+        attn, vb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    # slot-diagonal extraction: (nw, G, bb, GC) masked-sum over G
+    r = r.reshape(nw, g, bb, gc)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (g, gc), 0)
+    gl = (jax.lax.broadcasted_iota(jnp.int32, (g, gc), 1) % (g * cb)) // cb
+    dmask = (gi == gl).astype(jnp.float32)
+    out_w = jnp.sum(r * dmask[None, :, None, :], axis=1)  # (nw, bb, GC)
+
+    out = out_w.reshape(nw, block, block, gc).transpose(1, 0, 2, 3)
+    return out.reshape(block, wc, gc)
+
+
+def _packed_band_body(z, scratch, wp_ref, relh_ref, relw_ref, *,
+                      block: int, halo: int, wc: int, levels: int, g: int,
+                      precision):
+    """DWT^L -> packed qkv -> packed attention -> IWT^L on one packed
+    band. z: (rows, wp_full, G*cb) f32 affine-transformed band values.
+    Returns (block*2^L, w_full, G*cb) f32."""
+    win = block + 2 * halo
+    wp = wc + 2 * halo
+    gcb = z.shape[-1]
+    cb = gcb // g
+    dwt_bufs = scratch[:levels + 1] if levels else []
+    iwt_bufs = scratch[levels + 1:] if levels else []
+
+    if levels:
+        dwt_bufs[0][:] = z
+        for l in range(levels):
+            src, dst = dwt_bufs[l], dwt_bufs[l + 1]
+            a = src[0::2, 0::2, :]
+            b = src[1::2, 0::2, :]
+            cc = src[0::2, 1::2, :]
+            dd = src[1::2, 1::2, :]
+            dst[:] = jnp.concatenate(
+                [(a + b + cc + dd), (-a - b + cc + dd), (-a + b - cc + dd),
+                 (a - b - cc + dd)], axis=-1) * 0.5
+        z = dwt_bufs[levels][:]
+
+    c = cb * 4 ** levels
+    gc = g * c
+    zf = z.reshape(win * wp, gc).astype(jnp.bfloat16)
+    qkv = jnp.dot(zf, wp_ref[:], preferred_element_type=jnp.float32,
+                  precision=precision).reshape(win, wp, 3 * gc)
+    q_full = qkv[halo:halo + block, halo:halo + wc, :gc] * (c ** -0.5)
+    kv_full = qkv[..., gc:] + relh_ref[:][:, None, :]
+
+    out = _attend_packed(q_full, kv_full, relw_ref[:], block=block,
+                         halo=halo, wc=wc, g=g, cb=cb, levels=levels,
+                         precision=precision)
+
+    for l in range(levels):
+        dst = iwt_bufs[l]
+        ll, hl, lh, hh = jnp.split(out, 4, axis=-1)
+        dst[0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
+        dst[0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
+        dst[1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
+        dst[1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
+        out = dst[:]
+    return out
+
+
+def _packed_cascade_kernel(*refs, block: int, halo: int, wc: int,
+                           levels: int, g: int, precision, h: int, w: int,
+                           r: float, has_add: bool):
+    """Packed banded cascade: affine (IN-apply) + masked zero-pad +
+    optional cascade add in, attention, residual out — one packed image
+    group per (batch-group, row-band) grid step."""
+    if has_add:
+        (xa, xb, aa, ab, s_ref, t_ref, wp_ref, relh_ref, relw_ref,
+         out_ref, *scratch) = refs
+    else:
+        (xa, xb, s_ref, t_ref, wp_ref, relh_ref, relw_ref,
+         out_ref, *scratch) = refs
+        aa = ab = None
+    sf = 2 ** levels
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    x = jnp.concatenate([xa[:], xb[:, : 2 * halo * sf]], axis=1)
+    x_add = None
+    if has_add:
+        x_add = jnp.concatenate([aa[:], ab[:, : 2 * halo * sf]], axis=1)
+    sv = s_ref[pl.ds(b, 1), :]
+    tv = t_ref[pl.ds(b, 1), :]
+    # the band views carry a leading block dim of 1 == the affine's group
+    z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
+                     halo=halo, levels=levels, r=r)[0].astype(jnp.float32)
+    out = _packed_band_body(z, scratch, wp_ref, relh_ref, relw_ref,
+                            block=block, halo=halo, wc=wc, levels=levels,
+                            g=g, precision=precision)
+    blk_full = block * sf
+    res = z[halo * sf: halo * sf + blk_full, halo * sf: halo * sf + w, :]
+    out_ref[0] = (out + res).astype(out_ref.dtype)
+
+
+def _packed_scratch_shapes(wp_full, wc, gcb, gc, block, halo, levels):
+    shapes = []
+    if levels:
+        rows0 = (block + 2 * halo) * 2 ** levels
+        for l in range(levels + 1):
+            shapes.append(pltpu.VMEM(
+                (rows0 >> l, wp_full >> l, gcb * 4 ** l), jnp.float32))
+        for l in range(levels):
+            shapes.append(pltpu.VMEM(
+                (block << (l + 1), wc << (l + 1), gc // 4 ** (l + 1)),
+                jnp.float32))
+    return shapes
+
+
+def _lanes(n):
+    return max(n, 128)
+
+
+def packed_vmem_bytes(w, cb, g, block, halo, levels):
+    """Per-program VMEM estimate for the packed kernel. The big entries:
+    stacked queries / logits / av result at (nw, G*bb, ...) f32, the
+    patch tensor, the packed qkv band, and the (no longer lane-padded)
+    input/output blocks."""
+    sf = 2 ** levels
+    win = block + 2 * halo
+    wp_full = w + 2 * halo * sf
+    blk_full = block * sf
+    wc = w // sf
+    nw = wc // block
+    bb = block * block
+    c = cb * 4 ** levels
+    gc = g * c
+    gcb = g * cb
+    total = 2 * 2 * 2 * blk_full * wp_full * _lanes(gcb)   # in views x bufs
+    total += 2 * 2 * blk_full * w * _lanes(gcb)            # out blocks
+    rows0 = win * sf
+    for l in range(levels + 1):                            # DWT scratch
+        total += 4 * (rows0 >> l) * (wp_full >> l) * _lanes(gcb * 4 ** l)
+    for l in range(levels):                                # IWT scratch
+        total += 4 * (block << (l + 1)) * (wc << (l + 1)) * _lanes(
+            gc // 4 ** (l + 1))
+    total += 4 * rows0 * wp_full * _lanes(gcb)             # z band f32
+    total += 4 * win * (wc + 2 * halo) * _lanes(3 * gc)    # qkv band f32
+    total += 4 * nw * win * win * _lanes(2 * gc)           # patches
+    total += 2 * 4 * nw * g * bb * _lanes(gc)              # qs + av result
+    total += 2 * 4 * nw * g * bb * _lanes(win * win)       # sim + attn
+    total += 4 * g * bb * _lanes(gc)                       # bd mask
+    return total
+
+
+_PACK_ROWS = 8  # rows per pack-kernel grid step (VMEM: G x rows x W x 128)
+
+
+def _pack_kernel(x_ref, out_ref, *, g):
+    # lane-concat G images' row bands; f32 staging (bf16 sub-register
+    # lane concats are not supported by Mosaic)
+    parts = [x_ref[s].astype(jnp.float32) for s in range(g)]
+    out_ref[0] = jnp.concatenate(parts, axis=-1).astype(out_ref.dtype)
+
+
+def _unpack_kernel(x_ref, out_ref, *, g):
+    cb = out_ref.shape[-1]
+    band = x_ref[0].astype(jnp.float32)
+    for s in range(g):
+        out_ref[s] = band[..., s * cb:(s + 1) * cb].astype(out_ref.dtype)
+
+
+def pack_batch(x, g, interpret=None):
+    """(B, H, W, cb) -> (B/G, H, W, G*cb) slot-major lane pack, as a
+    trivial Pallas kernel (grid over row bands; pure DMA + lane concat).
+
+    Every XLA formulation tried (reshape+transpose, strided-slice+concat)
+    lowers to ~2 ms/call of staged layout-changing copies at the flagship
+    shape (profiled v5e) — 13x the ~HBM-speed cost of the move. The
+    kernel reads each image's rows once and writes the packed band once."""
+    b, h, w, cb = x.shape
+    if g == 1:
+        return x
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    import math
+
+    rows = math.gcd(h, _PACK_ROWS)
+    return pl.pallas_call(
+        functools.partial(_pack_kernel, g=g),
+        grid=(b // g, h // rows),
+        in_specs=[pl.BlockSpec((g, rows, w, cb),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rows, w, g * cb),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b // g, h, w, g * cb), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+def unpack_batch(x, g, interpret=None):
+    """Inverse of pack_batch (same kernel strategy)."""
+    bp, h, w, gcb = x.shape
+    if g == 1:
+        return x
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    import math
+
+    cb = gcb // g
+    rows = math.gcd(h, _PACK_ROWS)
+    return pl.pallas_call(
+        functools.partial(_unpack_kernel, g=g),
+        grid=(bp, h // rows),
+        in_specs=[pl.BlockSpec((1, rows, w, gcb),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g, rows, w, cb),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp * g, h, w, cb), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+def pick_pack_g(bsz: int, w: int, cb: int, levels: int,
+                block: int = 8, halo: int = 1) -> int:
+    """Largest profitable lane-pack group for the cascade dispatch
+    (1 = packing off, use the banded kernel).
+
+    Constraints, all v5e-measured (see device.py packed_budget):
+      * G must divide the batch;
+      * G*C >= 128 — batched dot_generals with a sub-128-lane contraction
+        crash the Mosaic compiler (L=0 g in {2,4} observed);
+      * G*C <= 256 — beyond that the stacked-query/logit buffers thrash
+        VMEM (L=1 g=8, est 28.6M: 12.9 ms vs 0.068 at g=4);
+      * the VMEM estimate must fit the device budget (absent budget =
+        packing disabled for that level, e.g. L=2)."""
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    budget = gate_profile().get("packed_budget", {}).get(levels)
+    if not budget:
+        return 1
+    c = cb * 4 ** levels
+    best = 1
+    for g in (2, 4, 8):
+        if bsz % g or g * c < 128 or g * c > 256:
+            continue
+        if packed_vmem_bytes(w, cb, g, block, halo, levels) <= budget:
+            best = g
+    return best
+
+
+def packed_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
+                        halo, levels, g, r, interpret, precision=None):
+    """Packed fused cascade branch. Args are the UNPACKED per-image
+    tensors (same contract as halo_attn._cascade_banded_impl); packing
+    and weight/bias preparation happen here in XLA."""
+    bsz, h, w, cb = x.shape
+    sf = 2 ** levels
+    win = block + 2 * halo
+    wc = w // sf
+    gc = g * cb * 4 ** levels
+    gcb = g * cb
+
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if x_add is not None else None
+    sp = s.astype(jnp.float32).reshape(bsz // g, gcb)
+    tp = t.astype(jnp.float32).reshape(bsz // g, gcb)
+    w_p, relh_p, relw_p = pack_branch_weights(
+        w_qkv, rel_h.astype(jnp.float32), rel_w.astype(jnp.float32),
+        cb=cb, g=g, levels=levels)
+    w_p = w_p.astype(x.dtype)
+
+    nh = h // (block * sf)
+    blk_full = block * sf
+    pad_bottom = (nh + 1) * blk_full - h - halo * sf
+    pads = ((0, 0), (halo * sf, pad_bottom), (halo * sf, halo * sf),
+            (0, 0))
+    xpp = jnp.pad(xp, pads)
+    wp_full = w + 2 * halo * sf
+    has_add = ap is not None
+
+    kernel = functools.partial(_packed_cascade_kernel, block=block,
+                               halo=halo, wc=wc, levels=levels, g=g,
+                               precision=precision, h=h, w=w, r=float(r),
+                               has_add=has_add)
+    band_spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, blk_full, wp_full, gcb), lambda b, i, o=off: (b, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: tuple(0 for _ in shp), memory_space=pltpu.VMEM)
+    per_img = pl.BlockSpec((bsz // g, gcb), lambda b, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xpp, xpp]
+    in_specs = [band_spec(0), band_spec(1)]
+    if has_add:
+        app = jnp.pad(ap, pads)
+        operands += [app, app]
+        in_specs += [band_spec(0), band_spec(1)]
+    operands += [sp, tp, w_p, relh_p, relw_p]
+    in_specs += [per_img, per_img, const((gc, 3 * gc)),
+                 const((win, 2 * gc)), const((win, 2 * gc))]
+
+    nw = wc // block
+    flops_per_band = (
+        2 * win * (wc + 2 * halo) * gc * 3 * gc
+        + nw * (2 * g * block * block * win * win * gc * 2))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz // g, nh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk_full, w, gcb),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w, gcb), x.dtype),
+        scratch_shapes=_packed_scratch_shapes(wp_full, wc, gcb, gc, block,
+                                              halo, levels),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_band * (bsz // g) * nh),
+            bytes_accessed=int((3 if has_add else 2) * x.size
+                               * x.dtype.itemsize),
+            transcendentals=int(bsz * h * w * win * win // sf ** 2)),
+        interpret=interpret,
+    )(*operands)
+    return unpack_batch(out, g, interpret)

@@ -1,0 +1,98 @@
+"""Parity tests for the lane-packed fused cascade kernel (round 3).
+
+Oracle: the XLA composition (halo_attn._cascade_xla) — itself parity-
+tested against torch semantics in test_cftm_fused.py / test_torch_parity.
+The packed kernel must reproduce it to f32-accumulation noise for every
+DWT level, G, and cascade-add arrangement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m2trans_tpu.ops.pallas import halo_attn_packed as pk
+from m2trans_tpu.ops.pallas.halo_attn import _cascade_xla
+
+
+def _mk(rng, b, h, w, cb, levels, with_add, dtype=jnp.bfloat16):
+    c = cb * 4 ** levels
+    x = jnp.asarray(rng.standard_normal((b, h, w, cb)), dtype)
+    xa = (jnp.asarray(rng.standard_normal((b, h, w, cb)), dtype)
+          if with_add else None)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (b, cb)), jnp.float32)
+    t = jnp.asarray(rng.uniform(-0.5, 0.5, (b, cb)), jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * c ** -0.5, dtype)
+    rel_h = jnp.asarray(rng.standard_normal((10, c // 2)) * 0.3, jnp.float32)
+    rel_w = jnp.asarray(rng.standard_normal((10, c // 2)) * 0.3, jnp.float32)
+    return x, xa, s, t, w_qkv, rel_h, rel_w
+
+
+@pytest.mark.parametrize("levels,cb,g", [
+    (0, 16, 4), (0, 16, 8), (0, 16, 2),
+    (1, 16, 2), (1, 16, 4),
+    (2, 16, 2),
+])
+@pytest.mark.parametrize("with_add", [False, True])
+def test_packed_matches_xla(levels, cb, g, with_add):
+    rng = np.random.default_rng(42 + levels * 10 + g)
+    b, h, w = g, 32, 32
+    x, xa, s, t, w_qkv, rel_h, rel_w = _mk(rng, b, h, w, cb, levels,
+                                           with_add)
+    r = 0.5 if with_add else 0.0
+
+    got = pk.packed_cascade_impl(x, xa, s, t, w_qkv, rel_h, rel_w,
+                                 block=8, halo=1, levels=levels, g=g,
+                                 r=r, interpret=True)
+    want = _cascade_xla(x, xa, s, t, w_qkv, rel_h, rel_w, block=8,
+                        halo=1, levels=levels, r=r)
+    g32, w32 = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    np.testing.assert_allclose(g32, w32, atol=5e-2, rtol=5e-2)
+    assert float(np.abs(g32 - w32).mean()) < 5e-3
+
+
+def test_packed_multiple_groups_per_batch():
+    """B > G: several packed programs along the batch grid axis."""
+    rng = np.random.default_rng(7)
+    levels, cb, g = 0, 16, 2
+    x, xa, s, t, w_qkv, rel_h, rel_w = _mk(rng, 6, 16, 24, cb, levels, True)
+    got = pk.packed_cascade_impl(x, xa, s, t, w_qkv, rel_h, rel_w,
+                                 block=8, halo=1, levels=levels, g=g,
+                                 r=0.5, interpret=True)
+    want = _cascade_xla(x, xa, s, t, w_qkv, rel_h, rel_w, block=8,
+                        halo=1, levels=levels, r=0.5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 4, 4, 16)), jnp.float32)
+    for g in (2, 4, 8):
+        y = pk.unpack_batch(pk.pack_batch(x, g), g)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_packed_weight_layout():
+    """The packed projection must equal the per-image projection."""
+    rng = np.random.default_rng(11)
+    cb, g, levels = 16, 4, 1
+    c = cb * 4 ** levels
+    w_qkv = jnp.asarray(rng.standard_normal((c, 3 * c)), jnp.float32)
+    rel_h = jnp.zeros((10, c // 2), jnp.float32)
+    w_p, _, _ = pk.pack_branch_weights(w_qkv, rel_h, rel_h, cb=cb, g=g,
+                                       levels=levels)
+    # packed input: per-image coarse vectors scattered into p-layout
+    z = rng.standard_normal((g, c)).astype(np.float32)
+    d = pk._d_of_packed(cb, g, g * c)
+    slot = pk._slot_of_packed(cb, g, g * c)
+    zp = np.zeros(g * c, np.float32)
+    for p in range(g * c):
+        zp[p] = z[slot[p], d[p]]
+    got = np.asarray(jnp.asarray(zp)[None, :] @ w_p)[0]
+    want_per_img = z @ np.asarray(w_qkv)  # (g, 3c)
+    for j in range(3):
+        for p in range(g * c):
+            np.testing.assert_allclose(
+                got[j * g * c + p], want_per_img[slot[p], j * c + d[p]],
+                rtol=1e-5, atol=1e-5)
