@@ -78,6 +78,12 @@ class Config:
     # the Python thread pool when the cache dtype is unsupported)
     profile_dir: Optional[str] = None  # jax.profiler trace of a few steps
     faithful_clip: bool = False  # bit-faithful reference SemanticLoss quirks
+    # reference DataLoader uses drop_last=False (datas/utils.py:22): the
+    # ragged tail batch still trains. Static shapes forbid a ragged batch
+    # under jit, so this flag pads the tail to batch_size and masks the
+    # loss to the valid samples — same gradients, one executable. Default
+    # off (drop the tail, <1% of samples at data_repeat=5).
+    faithful_tail_batch: bool = False
     # training image index range (reference hardcodes 1..1000,
     # datas/us1k.py:74-76); [start, end) like Python ranges
     train_range: tuple = (1, 1001)

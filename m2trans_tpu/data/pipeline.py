@@ -43,6 +43,7 @@ class TrainLoader:
         num_workers: int = 8,
         seed: int = 33,
         prefetch: int = 4,
+        include_tail: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,17 +51,42 @@ class TrainLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # reference drop_last=False equivalent (datas/utils.py:22): keep
+        # the ragged tail batch by padding it to batch_size (wrapped
+        # sample indices) and yielding a per-sample validity mask; batches
+        # become (lr, hr, mask) 3-tuples so the trainer can mask the loss
+        self.include_tail = include_tail
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        n = len(self.dataset)
+        if self.include_tail:
+            return -(-n // self.batch_size)
+        return n // self.batch_size
 
     def __iter__(self):
         n = len(self.dataset)
         epoch = self.epoch
         order_rng = np.random.default_rng((self.seed, epoch))
-        order = order_rng.permutation(n)[: len(self) * self.batch_size]
+        order = order_rng.permutation(n)
+        tail_valid = self.batch_size
+        if self.include_tail:
+            rag = n % self.batch_size
+            if rag:
+                tail_valid = rag
+                order = np.concatenate(
+                    [order, order[: self.batch_size - rag]])
+        else:
+            order = order[: len(self) * self.batch_size]
         batches = order.reshape(-1, self.batch_size)
         self.epoch += 1
+        include_tail = self.include_tail
+
+        def with_mask(b, batch):
+            if not include_tail:
+                return batch
+            valid = tail_valid if b == len(batches) - 1 else self.batch_size
+            mask = (np.arange(self.batch_size) < valid).astype(np.float32)
+            return batch + (mask,)
 
         # Producers gate on the consumer position (like runtime/loader.cc):
         # a worker may claim batch b only while b < consumed + prefetch, so
@@ -124,7 +150,7 @@ class TrainLoader:
                     batch = results.pop(b)
                     state["consumed"] = b + 1
                     cv.notify_all()
-                yield batch
+                yield with_mask(b, batch)
         finally:
             with cv:
                 stop.set()
@@ -156,7 +182,8 @@ def create_datasets(
         )
         train_loader = None
         if getattr(cfg, "native_loader", False) and cfg.colors == 3 \
-                and bool(cfg.data_augment):
+                and bool(cfg.data_augment) \
+                and not cfg.faithful_tail_batch:
             try:
                 from m2trans_tpu.runtime import NativeTrainLoader
 
@@ -173,7 +200,8 @@ def create_datasets(
         if train_loader is None:
             train_loader = TrainLoader(ds, cfg.batch_size,
                                        num_workers=cfg.threads,
-                                       seed=cfg.seed)
+                                       seed=cfg.seed,
+                                       include_tail=cfg.faithful_tail_batch)
 
     eval_sets = []
     for name in cfg.eval_sets or []:

@@ -86,7 +86,7 @@ def make_train_step(
 
     @partial(jax.jit, static_argnames=("do_cutout",), donate_argnums=(0, 1))
     def train_step(params, opt_state, lr_img, hr_img, key, captions,
-                   do_cutout=False):
+                   sample_mask=None, do_cutout=False):
         k_mix, k_cut, k_clip, k_noise = jax.random.split(key, 4)
         if cfg.cutmix:
             lr_img, hr_img = cutmix(k_mix, lr_img, hr_img, scale=cfg.scale)
@@ -101,7 +101,17 @@ def make_train_step(
 
         def loss_fn(p):
             sr = m2trans_apply(p, lr_img, cfg, policy=policy)
-            l1 = l1_loss(sr, hr_img) * cfg.lambda_l1
+            if sample_mask is None:
+                l1 = l1_loss(sr, hr_img) * cfg.lambda_l1
+            else:
+                # faithful tail batch (reference drop_last=False): loss
+                # averaged over the valid samples only — the padded
+                # duplicates contribute zero gradient
+                per = jnp.mean(jnp.abs(sr.astype(jnp.float32)
+                                       - hr_img.astype(jnp.float32)),
+                               axis=(1, 2, 3))
+                l1 = (jnp.sum(per * sample_mask)
+                      / jnp.sum(sample_mask)) * cfg.lambda_l1
             clip = jnp.float32(0.0)
             if semantic_loss_fn is not None and cfg.lambda_clip > 0:
                 clip = semantic_loss_fn(sr, hr_img, captions,
@@ -226,8 +236,11 @@ class Trainer:
             do_cutout = bool(cfg.cutout) and epoch < (cfg.epochs * 0.2)
             epoch_loss = l1_acc = clip_acc = 0.0
 
-            for it, (lr_np, hr_np) in enumerate(self.train_loader):
+            for it, batch in enumerate(self.train_loader):
+                lr_np, hr_np = batch[0], batch[1]
+                mask_np = batch[2] if len(batch) > 2 else None
                 lr_img, hr_img = self._put_batch(lr_np, hr_np)
+                mask = jnp.asarray(mask_np) if mask_np is not None else None
                 self.rng_key, step_key = jax.random.split(self.rng_key)
                 caps = self._batch_captions(it, lr_np.shape[0])
                 cap_tok = (self.semantic_loss_fn.tokenize(caps)
@@ -236,7 +249,7 @@ class Trainer:
                            else None)
                 self.params, self.opt_state, aux = self.train_step(
                     self.params, self.opt_state, lr_img, hr_img, step_key,
-                    cap_tok, do_cutout=do_cutout)
+                    cap_tok, mask, do_cutout=do_cutout)
 
                 epoch_loss += float(aux["loss"])
                 l1_acc += float(aux["l1"])

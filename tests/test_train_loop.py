@@ -124,3 +124,69 @@ def test_create_datasets_surface(synthetic_us1k, monkeypatch):
     assert eval_sets[0]["name"] == "CCA-US"
     with pytest.raises(NotImplementedError):
         create_datasets(cfg.replace(training_dataset="div2k"))
+
+
+def test_faithful_tail_batch_loader(tmp_path, rng):
+    """include_tail pads the ragged tail to batch_size with a validity
+    mask (reference drop_last=False, datas/utils.py:22)."""
+    import numpy as np
+
+    from m2trans_tpu.data.pipeline import TrainLoader
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def get(self, idx, rng_):
+            x = np.full((4, 4, 3), float(idx), np.float32)
+            return x, np.repeat(np.repeat(x, 2, 0), 2, 1)
+
+    drop = TrainLoader(_DS(), 4, num_workers=1, seed=1)
+    assert len(drop) == 2
+    assert all(len(b) == 2 for b in drop)
+
+    keep = TrainLoader(_DS(), 4, num_workers=1, seed=1, include_tail=True)
+    assert len(keep) == 3
+    batches = list(keep)
+    assert all(len(b) == 3 for b in batches)
+    # full batches carry an all-ones mask; the tail keeps 10 % 4 = 2
+    np.testing.assert_array_equal(batches[0][2], np.ones(4, np.float32))
+    np.testing.assert_array_equal(batches[1][2], np.ones(4, np.float32))
+    np.testing.assert_array_equal(batches[2][2], [1, 1, 0, 0])
+    # every dataset index appears exactly once across the valid slots
+    seen = []
+    for lr, hr, m in batches:
+        seen += [int(lr[i, 0, 0, 0]) for i in range(4) if m[i]]
+    assert sorted(seen) == list(range(10))
+    # padded slots duplicate real samples (static shape, finite values)
+    assert batches[2][0].shape == (4, 4, 4, 3)
+
+
+def test_masked_train_step_matches_unmasked_on_full_batch(rng):
+    """sample_mask of all-ones must reproduce the unmasked loss path."""
+    import jax
+    import jax.numpy as jnp
+
+    from m2trans_tpu.models import init_m2trans
+    from m2trans_tpu.train.loop import make_optimizer, make_train_step
+
+    cfg = Config(scale=2, n_feats=8, n_blocks=1, batch_size=2,
+                 epochs=2, lr=1e-4, cutmix=0.0, cutout=0.0)
+    tx = make_optimizer(cfg, steps_per_epoch=4)
+    step = make_train_step(cfg, tx)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    opt = tx.init(params)
+    lr_img = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)),
+                         jnp.float32)
+    hr_img = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)),
+                         jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    import copy
+
+    p1, o1, aux1 = step(copy.deepcopy(params), copy.deepcopy(opt),
+                        lr_img, hr_img, key, None, None)
+    p2, o2, aux2 = step(copy.deepcopy(params), copy.deepcopy(opt),
+                        lr_img, hr_img, key, None, jnp.ones(2))
+    assert float(aux1["loss"]) == pytest.approx(float(aux2["loss"]),
+                                                rel=1e-6)
