@@ -36,11 +36,20 @@ _V5E = {
     # term alone) stays rejected.
     "tail_limit": 16e6,
     # Lane-packed cascade kernel (halo_attn_packed.py) VMEM budgets per
-    # DWT level, v5e-measured at W=96/B=8: L=0 g=8 (est 17.8M) compiles
-    # and runs 3.3x the banded kernel (0.146 vs 0.482 ms/call); L=1 g=4
-    # (est 13.5M) runs 2.6x (0.068 vs 0.175). L=2 packing measured
-    # SLOWER (13.4 vs 4.4 ms chain at g=2) -> no budget = disabled.
-    "packed_budget": {0: 20e6, 1: 15e6},
+    # DWT level, v5e-measured (the estimator runs ~2x conservative):
+    # L=0 g=8: W=96 (est 17.8M) 0.146 vs banded 0.482 ms/call; W=192
+    # (est 35.2M) compiles and runs 0.600 vs 1.863 -> budget 36e6.
+    # L=1 g=4: W=96 (est 13.5M) 0.068 vs 0.175; W=192 (est 26.5M) 0.275
+    # vs banded 0.670 -> budget 27e6 (g=8, est 28.6M, measured 12.9 ms —
+    # the g*C<=256 rule also excludes it).
+    # L=2 packing: W=96 g=2 measured slower than banded (13.4 vs 4.4 ms
+    # chain) and W=192 g=2 OOMs scoped VMEM (19.05M > 16M) -> no budget.
+    "packed_budget": {0: 36e6, 1: 27e6},
+    # DWT levels where the column-slab tiled cascade replaces the XLA
+    # fallback beyond the banded gate. v5e-measured (scripts/
+    # dissect_tiled.py, B=8): L=2 W=192 0.569 ms/call vs ~6.5 XLA; W=128
+    # 0.335 vs ~2.2 XLA.
+    "tiled_levels": (2,),
 }
 
 # device_kind prefix (lowercased) -> calibration
@@ -55,6 +64,8 @@ _UNKNOWN_TPU_SCALE = 0.75
 
 def _scaled(cal: dict, f: float) -> dict:
     def sc(v):
+        if not isinstance(v, (int, float)):
+            return v  # non-budget entries (e.g. level tuples) pass through
         return int(v * f) if isinstance(v, int) else v * f
 
     return {k: ({kk: sc(vv) for kk, vv in v.items()}

@@ -47,20 +47,22 @@ from m2trans_tpu.ops.halo_attention import halo_attention
 from m2trans_tpu.ops.wavelet import haar_dwt, haar_iwt
 
 
-def _affine_band(x, x_add, s, t, *, i, h, w, block, halo, levels, r):
+def _affine_band(x, x_add, s, t, *, i, h, w, block, halo, levels, r,
+                 col_off=0):
     """In-band input transform for the fused CFTM cascade:
     z = (x*s + t)*interior_mask + r*x_add — folds the instance-norm apply
     (s = inv_std, t = -mean*inv_std, per image x channel) and the cascade
     average into the kernel; the mask re-zeroes the halo padding that the
     affine shift would otherwise pollute (the reference's unfold/conv see
-    zeros beyond the frame)."""
+    zeros beyond the frame). ``col_off``: global full-res column of the
+    band's first (pre-halo) column, for column-slab tiled grids."""
     sfull = 2 ** levels
     zf = x.astype(jnp.float32) * s[:, None, None, :] + t[:, None, None, :]
     rows, wp = x.shape[1], x.shape[2]
     grow = (jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1, 1), 1)
             + i * block * sfull - halo * sfull)
     gcol = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, wp, 1), 2)
-            - halo * sfull)
+            + col_off - halo * sfull)
     mask = ((grow >= 0) & (grow < h) & (gcol >= 0) & (gcol < w))
     zf = jnp.where(mask, zf, 0.0)
     if x_add is not None:
@@ -710,6 +712,126 @@ def _cascade_banded_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
     )(*operands)
 
 
+def _cascade_tile_kernel(*refs, block: int, halo: int, wc: int,
+                         levels: int, precision, h: int, w: int, slab: int,
+                         r: float, has_add: bool):
+    """Column-slab tiled cascade: grid (B, nh, n_slabs); per-program VMEM
+    is W-independent (scales with ``slab``), so the fused cascade runs at
+    widths where the full-width banded kernel exceeds VMEM (e.g. the x2
+    model's L=2 branches at W=192, where XLA fallback cost ~5 ms/call).
+    The overlapping tile is assembled from FOUR blocked views like
+    _tile_kernel; the interior mask and residual use the slab's global
+    column offset."""
+    if has_add:
+        (xaa, xab, xba, xbb, aaa, aab, aba, abb, s_ref, t_ref,
+         wq_ref, wk_ref, wv_ref, relh_ref, relw_ref, out_ref,
+         *scratch) = refs
+    else:
+        (xaa, xab, xba, xbb, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
+         relh_ref, relw_ref, out_ref, *scratch) = refs
+        aaa = aab = aba = abb = None
+    sf = 2 ** levels
+    hh = 2 * halo * sf
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    def tile(va, vb, vc, vd):
+        top = jnp.concatenate([va[0], vb[0][:, :hh]], axis=1)
+        bot = jnp.concatenate([vc[0][:hh], vd[0][:hh, :hh]], axis=1)
+        return jnp.concatenate([top, bot], axis=0)[None]
+
+    x = tile(xaa, xab, xba, xbb)
+    x_add = tile(aaa, aab, aba, abb) if has_add else None
+    sv = s_ref[pl.ds(b, 1), :]
+    tv = t_ref[pl.ds(b, 1), :]
+    z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
+                     halo=halo, levels=levels, r=r, col_off=j * slab)
+    out = _band_body(z, scratch, wq_ref, wk_ref, wv_ref, relh_ref,
+                     relw_ref, block=block, halo=halo, wc=wc,
+                     levels=levels, precision=precision)
+    blk_full = block * sf
+    hs = halo * sf
+    res = z[:, hs:hs + blk_full, hs:hs + slab, :]
+    out_ref[:] = (out + res.astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _cascade_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
+                        halo, levels, r, interpret, precision=None):
+    """Width-tolerant fused cascade via column slabs (see
+    _cascade_tile_kernel)."""
+    bsz, h, w, cb = x.shape
+    sf = 2 ** levels
+    c = cb * (4 ** levels)
+    win = block + 2 * halo
+    blk_full = block * sf
+    hs = halo * sf
+    has_add = x_add is not None
+    wq, wk, wv = (w_qkv[:, :c], w_qkv[:, c:2 * c], w_qkv[:, 2 * c:])
+
+    limit = _banded_limit(levels)
+    slab = (w // blk_full) * blk_full
+    while slab > blk_full and _banded_vmem_bytes(
+            slab, cb, c, block, halo, levels) > limit:
+        slab -= blk_full
+    nwb = -(-w // slab)
+    nh = h // blk_full
+    wcs = slab // sf
+
+    pad_bottom = (nh + 1) * blk_full - h - hs
+    pad_right = (nwb + 1) * slab - w - hs
+    pads = ((0, 0), (hs, pad_bottom), (hs, pad_right), (0, 0))
+    xp = jnp.pad(x, pads)
+
+    kernel = functools.partial(_cascade_tile_kernel, block=block,
+                               halo=halo, wc=wcs, levels=levels,
+                               precision=precision, h=h, w=w, slab=slab,
+                               r=float(r), has_add=has_add)
+    view = lambda oi, oj: pl.BlockSpec(  # noqa: E731
+        (1, blk_full, slab, cb),
+        lambda b, i, j, a=oi, d=oj: (b, i + a, j + d, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i, j: tuple(0 for _ in shp),
+        memory_space=pltpu.VMEM)
+    per_img = pl.BlockSpec((bsz, cb), lambda b, i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xp, xp, xp, xp]
+    in_specs = [view(0, 0), view(0, 1), view(1, 0), view(1, 1)]
+    if has_add:
+        ap = jnp.pad(x_add, pads)
+        operands += [ap, ap, ap, ap]
+        in_specs += [view(0, 0), view(0, 1), view(1, 0), view(1, 1)]
+    operands += [s.astype(jnp.float32), t.astype(jnp.float32),
+                 wq, wk, wv, rel_h, rel_w]
+    in_specs += [per_img, per_img, const((c, c)), const((c, c)),
+                 const((c, c)), const((win, c // 2)), const((win, c // 2))]
+
+    nw = wcs // block
+    flops_per_tile = (
+        2 * win * (wcs + 2 * halo) * c * 3 * c
+        + nw * (2 * block * block * win * win * c * 2))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nh, nwb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk_full, slab, cb),
+                               lambda b, i, j: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, nwb * slab, cb), x.dtype),
+        scratch_shapes=_branch_scratch_shapes(slab + 2 * hs, wcs, cb, c,
+                                              block, halo, levels, 1),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_tile * bsz * nh * nwb),
+            bytes_accessed=int((3 if has_add else 2) * x.size
+                               * x.dtype.itemsize),
+            transcendentals=int(bsz * h * w * win * win // sf ** 2)),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :, :w, :]
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel for the fused cascade branch (VERDICT r1 item 5): the
 # custom_vjp bwd runs in Pallas too, so training never re-runs the XLA
@@ -1045,6 +1167,18 @@ def _make_cascade_fused(has_add: bool):
         c = x.shape[-1] * 4 ** levels
         if _banded_vmem_bytes(x.shape[2], x.shape[-1], c, block, halo,
                               levels) > _banded_limit(levels):
+            from m2trans_tpu.ops.pallas.device import gate_profile
+
+            blk_full = block * 2 ** levels
+            if (levels in gate_profile().get("tiled_levels", ())
+                    and x.shape[2] > blk_full
+                    and _banded_vmem_bytes(blk_full, x.shape[-1], c, block,
+                                           halo,
+                                           levels) <= _banded_limit(levels)):
+                return _cascade_tiled_impl(
+                    x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
+                    halo=halo, levels=levels, r=r, interpret=interpret,
+                    precision=precision)
             return _cascade_xla(x, x_add, s, t, w_qkv, rel_h, rel_w,
                                 block=block, halo=halo, levels=levels,
                                 r=r, precision=precision)

@@ -98,3 +98,54 @@ def test_cftm_fused_module_matches_plain(rng):
                                 policy=fused)).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
     assert float(np.abs(got - want).mean()) < 5e-3
+
+
+@pytest.mark.parametrize("levels,with_add", [(0, True), (1, False),
+                                             (2, True)])
+def test_cascade_tiled_matches_xla(levels, with_add):
+    """Column-slab tiled cascade == XLA composition (wide-width path)."""
+    from m2trans_tpu.ops.pallas.halo_attn import _cascade_tiled_impl
+
+    x, w_qkv, rel, s, t, add = _mk(levels, hw=64)
+    xb = x.astype(jnp.bfloat16)
+    ab = add.astype(jnp.bfloat16) if with_add else None
+    # force a multi-slab grid by shrinking the slab via a small limit
+    import m2trans_tpu.ops.pallas.halo_attn as ha
+    got = np.asarray(_cascade_tiled_impl(
+        xb, ab, s, t, w_qkv.astype(jnp.bfloat16), rel, rel, block=8,
+        halo=1, levels=levels, r=0.5, interpret=True)).astype(np.float32)
+    want = np.asarray(_cascade_xla(
+        xb, ab, s, t, w_qkv.astype(jnp.bfloat16), rel, rel, block=8,
+        halo=1, levels=levels, r=0.5)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+    assert float(np.abs(got - want).mean()) < 5e-3
+
+
+def test_cascade_tiled_multi_slab_exact():
+    """Slab boundaries must be seamless: shrink the gate so W=64 splits
+    into multiple slabs and compare against the single-program path."""
+    import m2trans_tpu.ops.pallas.halo_attn as ha
+    from m2trans_tpu.ops.pallas import device as dev_mod
+
+    x, w_qkv, rel, s, t, add = _mk(1, hw=64)
+    xb = x.astype(jnp.bfloat16)
+    kw = dict(block=8, halo=1, levels=1, r=0.5, interpret=True)
+    whole = np.asarray(ha._cascade_tiled_impl(
+        xb, None, s, t, w_qkv.astype(jnp.bfloat16), rel, rel, **kw))
+    prof = dev_mod.gate_profile()
+    small = dict(prof, banded_limits={},
+                 banded_limit_default=int(ha._banded_vmem_bytes(
+                     32, 4, 16, 8, 1, 1)) + 1)
+    dev_mod.gate_profile.cache_clear()
+    try:
+        import unittest.mock as mock
+        with mock.patch.object(dev_mod, "gate_profile", lambda: small):
+            # re-resolve inside halo_attn via the device module call
+            split = np.asarray(ha._cascade_tiled_impl(
+                xb, None, s, t, w_qkv.astype(jnp.bfloat16), rel, rel,
+                **kw))
+    finally:
+        dev_mod.gate_profile.cache_clear()
+    np.testing.assert_allclose(split.astype(np.float32),
+                               whole.astype(np.float32), atol=2e-2,
+                               rtol=2e-2)
