@@ -413,22 +413,18 @@ MICRO_BATCH = 8
 def m2trans_apply_microbatched(
         params: Params, x: jnp.ndarray, cfg: Config,
         policy: Optional[ComputePolicy] = None,
-        micro_batch: int = MICRO_BATCH,
-        max_unroll: int = 8) -> jnp.ndarray:
-    """m2trans_apply over micro-batches of ``micro_batch``: large serving
-    batches keep batch-8's per-image step time instead of regressing.
-    Up to ``max_unroll`` chunks are unrolled (XLA overlaps the chunk
-    boundaries — measured 83 vs 68 MP/s at batch 32 against lax.map);
-    beyond that lax.map bounds compile time."""
+        micro_batch: int = MICRO_BATCH) -> jnp.ndarray:
+    """m2trans_apply over micro-batches of ``micro_batch`` via lax.map:
+    large serving batches keep batch-8's per-image step time instead of
+    regressing. Measured v5e (r3, packed kernels): batch 64 = 142.9 MP/s
+    with lax.map vs 71.5 unrolled+concat and 85.4 unrolled+DUS — the
+    r2-era unroll advantage inverted once the packed kernels landed (the
+    map body reuses one compiled chunk and skips the chunk-boundary
+    output staging; scripts/bench_batch.py)."""
     b = x.shape[0]
     if b <= micro_batch or b % micro_batch:
         return m2trans_apply(params, x, cfg, policy)
     n = b // micro_batch
-    if n <= max_unroll:
-        ys = [m2trans_apply(params,
-                            x[i * micro_batch:(i + 1) * micro_batch],
-                            cfg, policy) for i in range(n)]
-        return jnp.concatenate(ys, axis=0)
     xs = x.reshape((n, micro_batch) + x.shape[1:])
     ys = jax.lax.map(lambda xc: m2trans_apply(params, xc, cfg, policy), xs)
     return ys.reshape((b,) + ys.shape[2:])

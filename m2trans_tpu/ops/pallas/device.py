@@ -46,10 +46,11 @@ _V5E = {
     # chain) and W=192 g=2 OOMs scoped VMEM (19.05M > 16M) -> no budget.
     "packed_budget": {0: 36e6, 1: 27e6},
     # DWT levels where the column-slab tiled cascade replaces the XLA
-    # fallback beyond the banded gate. v5e-measured (scripts/
-    # dissect_tiled.py, B=8): L=2 W=192 0.569 ms/call vs ~6.5 XLA; W=128
-    # 0.335 vs ~2.2 XLA.
-    "tiled_levels": (2,),
+    # fallback beyond the banded gate. v5e-measured per call (scripts/
+    # dissect_tiled.py): L=2 W=192 B=8 0.577 vs ~6.5 XLA, W=128 0.335 vs
+    # ~2.2; L=1 W=256 B=1 0.218 vs ~1.2, W=512 B=1 0.793 vs ~7.5;
+    # L=0 W=512 B=1 2.243 vs ~4.3.
+    "tiled_levels": (0, 1, 2),
 }
 
 # device_kind prefix (lowercased) -> calibration

@@ -770,9 +770,17 @@ def _cascade_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
     wq, wk, wv = (w_qkv[:, :c], w_qkv[:, c:2 * c], w_qkv[:, 2 * c:])
 
     limit = _banded_limit(levels)
+
+    def tiled_est(sl):
+        # the tile is assembled from FOUR views (vs the banded kernel's
+        # two), each double-buffered: count the two extra view blocks on
+        # top of the banded estimate (omitting them OOM'd L=1 slab=208:
+        # est 13.9M vs actual 17.02M)
+        extra = 2 * 2 * 2 * blk_full * (sl + 2 * hs) * _lanes(cb)
+        return _banded_vmem_bytes(sl, cb, c, block, halo, levels) + extra
+
     slab = (w // blk_full) * blk_full
-    while slab > blk_full and _banded_vmem_bytes(
-            slab, cb, c, block, halo, levels) > limit:
+    while slab > blk_full and tiled_est(slab) > limit:
         slab -= blk_full
     nwb = -(-w // slab)
     nh = h // blk_full

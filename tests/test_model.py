@@ -142,8 +142,8 @@ def test_microbatched_apply_matches_plain(rng):
 
 
 def test_microbatched_lax_map_branch(rng):
-    """Beyond max_unroll chunks the microbatcher switches to lax.map —
-    same values as the plain forward."""
+    """Many chunks through the lax.map microbatcher — same values as the
+    plain forward."""
     from m2trans_tpu.models import m2trans_apply_microbatched
 
     cfg = Config(scale=2, n_feats=8, n_blocks=1)
@@ -151,7 +151,6 @@ def test_microbatched_lax_map_branch(rng):
     x = jnp.asarray(rng.uniform(0, 1, (6, 8, 8, 3)).astype(np.float32))
     want = np.asarray(m2trans_apply(params, x, cfg))
     got = np.asarray(jax.jit(
-        lambda p, z: m2trans_apply_microbatched(p, z, cfg, micro_batch=2,
-                                                max_unroll=2)
+        lambda p, z: m2trans_apply_microbatched(p, z, cfg, micro_batch=2)
     )(params, x))
     np.testing.assert_allclose(got, want, atol=1e-6)
