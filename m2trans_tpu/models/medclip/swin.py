@@ -207,11 +207,14 @@ def swin_apply(params: Params, pixel_values: jnp.ndarray,
 def init_swin(key, cfg: SwinConfig) -> Params:
     """Random init (trunc-normal-ish); real use loads converted weights."""
     e = cfg.embed_dim
-    keys = jax.random.split(key, 64)
-    ki = iter(range(64))
+    # fold-in counter instead of a fixed pre-split pool: the full-size
+    # config needs 88 keys (12 blocks x 7 + embeddings + reductions) and
+    # a 64-key pool StopIteration'd on it (r3 fix; tiny config fit)
+    counter = iter(range(1 << 30))
 
     def nrm(shape, std=0.02):
-        return jax.random.normal(keys[next(ki)], shape, jnp.float32) * std
+        k = jax.random.fold_in(key, next(counter))
+        return jax.random.normal(k, shape, jnp.float32) * std
 
     def linear(cin, cout, bias=True):
         p = {}

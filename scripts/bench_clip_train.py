@@ -72,30 +72,98 @@ def main():
     sem = SemanticLossFn(mc_params, mcfg, tokenizer=None)
     sem.__dict__["tokenize"] = None  # host tokenizer not needed here
 
-    for lam, label in ((0.0, "clip OFF"), (0.01, "clip ON  (lambda 0.01)")):
-        cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3,
-                     dtype="bfloat16", use_pallas=True, batch_size=BATCH,
-                     lambda_clip=lam, cutmix=0.5, cutout=1)
-        tx = make_optimizer(cfg, steps_per_epoch=100)
-        step = make_train_step(cfg, tx, sem if lam > 0 else None)
-        params = init_m2trans(jax.random.PRNGKey(2), cfg)
-        opt = tx.init(params)
-        t = time_steps(step, params, opt, lr_img, hr_img,
-                       toks if lam > 0 else None)
-        print(f"{label}: {t * 1e3:.1f} ms/step "
-              f"({BATCH / t:.1f} samples/s)")
-        if trace and lam > 0:
-            from scripts.tpu_profile import report
+    cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3,
+                 dtype="bfloat16", use_pallas=True, batch_size=BATCH,
+                 lambda_clip=0.0, cutmix=0.5, cutout=1)
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+    step = make_train_step(cfg, tx, None)
+    params = init_m2trans(jax.random.PRNGKey(2), cfg)
+    opt = tx.init(params)
+    t_off = time_steps(step, params, opt, lr_img, hr_img, None)
+    print(f"clip OFF: {t_off * 1e3:.1f} ms/step "
+          f"({BATCH / t_off:.1f} samples/s)")
 
-            outdir = f"/tmp/m2t_clip_trace_{os.getpid()}"
-            key = jax.random.PRNGKey(9)
-            with jax.profiler.trace(outdir):
-                for _ in range(3):
-                    key, k = jax.random.split(key)
-                    params, opt, aux = step(params, opt, lr_img, hr_img,
-                                            k, toks)
-                float(aux["loss"])
-            report(outdir, steps=3, top=24)
+    # The monolithic clip-on step exceeds the axon tunnel's remote-compile
+    # HTTP body limit (413) — an environment artifact, not a device limit.
+    # Measure the exact split formulation instead: total loss
+    # L = l1(sr) + lam*clip(sr); dL/dp = vjp_model(dl1/dsr + lam*dclip/dsr),
+    # so program A computes (clip, dclip/dsr) on the frozen SR image and
+    # program B injects that cotangent into the model step via
+    # <sr, stop_grad(g_clip)>. A+B serial == the monolithic step's math.
+    from m2trans_tpu.models import m2trans_apply, policy_from_config
+
+    policy = policy_from_config(cfg)
+    lam = 0.01
+
+    @jax.jit
+    def clip_grad(mc_p, sr, hr, ids, mask, tti, key):
+        def f(s):
+            from m2trans_tpu.losses.semantic import semantic_loss
+
+            return semantic_loss(mc_p, mcfg, s, hr, ids, mask, key,
+                                 token_type_ids=tti)
+
+        val, g = jax.value_and_grad(f)(sr)
+        return val, g
+
+    @jax.jit
+    def fwd_only(p, lr):
+        return m2trans_apply(p, lr, cfg, policy=policy)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(0, 1))
+    def model_step(p, opt_state, lr, hr, g_clip, key):
+        def loss_fn(pp):
+            sr = m2trans_apply(pp, lr, cfg, policy=policy)
+            l1 = jnp.mean(jnp.abs(sr.astype(jnp.float32)
+                                  - hr.astype(jnp.float32)))
+            inj = jnp.sum(sr.astype(jnp.float32)
+                          * jax.lax.stop_gradient(g_clip))
+            return l1 + lam * inj
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        import optax as _optax
+
+        updates, opt_new = tx.update(grads, opt_state, p)
+        return _optax.apply_updates(p, updates), opt_new, loss
+
+    key = jax.random.PRNGKey(0)
+    ids, msk, tti = (toks["input_ids"], toks["attention_mask"],
+                     toks["token_type_ids"])
+
+    def split_step(p, opt_state, key):
+        sr = fwd_only(p, lr_img)
+        cval, g = clip_grad(mc_params, sr, hr_img, ids, msk, tti, key)
+        p, opt_state, loss = model_step(p, opt_state, lr_img, hr_img,
+                                        g, key)
+        return p, opt_state, loss, cval
+
+    params2 = init_m2trans(jax.random.PRNGKey(2), cfg)
+    opt2 = tx.init(params2)
+    params2, opt2, loss, cval = split_step(params2, opt2, key)
+    float(loss)
+    t0 = time.perf_counter()
+    n = 8
+    for i in range(n):
+        key, k = jax.random.split(key)
+        params2, opt2, loss, cval = split_step(params2, opt2, k)
+    float(loss), float(cval)
+    t_on = (time.perf_counter() - t0) / n
+    print(f"clip ON (lambda {lam}, split A+B): {t_on * 1e3:.1f} ms/step "
+          f"({BATCH / t_on:.1f} samples/s); clip overhead "
+          f"{(t_on - t_off) * 1e3:.1f} ms")
+
+    if trace:
+        from scripts.tpu_profile import report
+
+        outdir = f"/tmp/m2t_clip_trace_{os.getpid()}"
+        with jax.profiler.trace(outdir):
+            for _ in range(2):
+                key, k = jax.random.split(key)
+                params2, opt2, loss, cval = split_step(params2, opt2, k)
+            float(loss)
+        report(outdir, steps=2, top=20)
 
 
 if __name__ == "__main__":
