@@ -74,6 +74,10 @@ class Config:
     captions_path: Optional[str] = None  # text descriptions for SemanticLoss
     medclip_path: Optional[str] = None  # pretrained MedCLIP weights dir
     medclip_tiny: bool = False  # tiny MedCLIP config (smoke tests only)
+    # MedCLIP encoder compute dtype for the semantic loss: "float32"
+    # (default; matches the reference numerics) or "bfloat16" (speed —
+    # halves the encoder HBM traffic; LN stats stay f32)
+    medclip_dtype: str = "float32"
     native_loader: bool = True  # C++ runtime data loader (falls back to
     # the Python thread pool when the cache dtype is unsupported)
     profile_dir: Optional[str] = None  # jax.profiler trace of a few steps

@@ -102,12 +102,18 @@ def semantic_loss(
     else:
         t = encode_text(medclip_params, input_ids, attention_mask, mcfg)
 
-    # one batched vision forward over all patches of both images
-    stack = jnp.concatenate(patches_x + patches_y, axis=0)
+    # one batched vision forward over all patches of both images; the
+    # encoders run in the MedCLIP params' dtype (bf16 when
+    # cfg.medclip_dtype selects the speed mode — the f32 path moves
+    # ~30 ms/step of embedding-table copies + stage-1 activation DMA at
+    # real scale, NOTES_ROUND4), similarity in f32 either way
+    pdt = medclip_params["vision_proj"]["w"].dtype
+    stack = jnp.concatenate(patches_x + patches_y, axis=0).astype(pdt)
     emb = encode_image(medclip_params, stack, mcfg)  # already normalized
-    emb = emb.reshape(2 * n_patches, bsz, -1)
-    ex, ey = emb[:n_patches], emb[n_patches:]
+    emb = emb.reshape(2 * n_patches, bsz, -1).astype(jnp.float32)
+    t = t.astype(jnp.float32)
 
+    ex, ey = emb[:n_patches], emb[n_patches:]
     sim_x = jnp.einsum("pbd,bd->pb", ex, t)
     sim_y = jnp.einsum("pbd,bd->pb", ey, t)
     per_patch = jnp.abs(sim_x - sim_y)  # (P, B)
@@ -126,7 +132,12 @@ class SemanticLossFn:
 
     def __init__(self, medclip_params, mcfg: MedCLIPConfig, tokenizer,
                  *, n_patches: int = 3, clip_size: int = 224,
-                 faithful: bool = False, max_length: int = 64):
+                 faithful: bool = False, max_length: int = 64,
+                 dtype=None):
+        if dtype is not None:
+            medclip_params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if x.dtype == jnp.float32 else x, medclip_params)
         self.params = medclip_params
         self.mcfg = mcfg
         self.tokenizer = tokenizer
@@ -178,6 +189,8 @@ def make_semantic_loss(cfg) -> SemanticLossFn:
     weight_file = os.path.join(cfg.medclip_path, "pytorch_model.bin")
     params = load_medclip_torch(weight_file, mcfg)
     tokenizer = AutoTokenizer.from_pretrained(cfg.medclip_path)
+    dtype = (jnp.bfloat16 if getattr(cfg, "medclip_dtype",
+                                     "float32") == "bfloat16" else None)
     return SemanticLossFn(params, mcfg, tokenizer, n_patches=3,
                           clip_size=(56 if tiny else 224),
-                          faithful=cfg.faithful_clip)
+                          faithful=cfg.faithful_clip, dtype=dtype)

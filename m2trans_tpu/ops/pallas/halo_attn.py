@@ -480,10 +480,20 @@ def _halo_attention_pallas_fwd_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
             interpret=interpret, precision=precision)
     if _banded_vmem_bytes(w, cb, c, block, halo,
                           levels) > _banded_limit(levels):
-        # Measured on v5e: for over-limit widths the XLA composition beats
-        # the width-blocked tiled kernel (256^2 frame: 855 ms vs 1294 ms
-        # p50 — slab padding waste + 4-view reads). The tiled variant
-        # (_halo_attention_tiled_impl) remains available and tested.
+        # The r1 "tiled slower than XLA" verdict predates the batched
+        # schedule + fused qkv; with them the tiled CASCADE wins 4-10x
+        # at every measured wide shape, so the plain path follows the
+        # same per-level calibration flag.
+        from m2trans_tpu.ops.pallas.device import gate_profile
+
+        blk_full = block * 2 ** levels
+        if (levels in gate_profile().get("tiled_levels", ())
+                and w > blk_full
+                and _banded_vmem_bytes(blk_full, cb, c, block, halo,
+                                       levels) <= _banded_limit(levels)):
+            return _halo_attention_tiled_impl(
+                x, w_qkv, rel_h, rel_w, block=block, halo=halo,
+                levels=levels, interpret=interpret, precision=precision)
         return _xla_reference(x, w_qkv, rel_h, rel_w, block=block, halo=halo,
                               levels=levels, precision=precision)
     return _halo_attention_banded_impl(
@@ -501,10 +511,14 @@ def _halo_attention_tiled_impl(x, w_qkv, rel_h, rel_w, *, block, halo,
     blk_full = block * s
     wq, wk, wv = (w_qkv[:, :c], w_qkv[:, c:2 * c], w_qkv[:, 2 * c:])
 
-    # largest slab (multiple of the full-res block unit) whose band fits
+    # largest slab (multiple of the full-res block unit) whose band fits,
+    # counting all FOUR double-buffered views (see _cascade_tiled_impl)
+    def tiled_est(sl):
+        extra = 2 * 2 * 2 * blk_full * (sl + 2 * halo * s) * _lanes(cb)
+        return _banded_vmem_bytes(sl, cb, c, block, halo, levels) + extra
+
     slab = (w // blk_full) * blk_full
-    while slab > blk_full and _banded_vmem_bytes(
-            slab, cb, c, block, halo, levels) > _banded_limit(levels):
+    while slab > blk_full and tiled_est(slab) > _banded_limit(levels):
         slab -= blk_full
     nwb = -(-w // slab)
     nh = h // blk_full

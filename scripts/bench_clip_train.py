@@ -132,27 +132,33 @@ def main():
     ids, msk, tti = (toks["input_ids"], toks["attention_mask"],
                      toks["token_type_ids"])
 
-    def split_step(p, opt_state, key):
-        sr = fwd_only(p, lr_img)
-        cval, g = clip_grad(mc_params, sr, hr_img, ids, msk, tti, key)
-        p, opt_state, loss = model_step(p, opt_state, lr_img, hr_img,
-                                        g, key)
-        return p, opt_state, loss, cval
+    for mc_dt, mc_label in ((None, "f32 MedCLIP"),
+                            (jnp.bfloat16, "bf16 MedCLIP")):
+        mc_p = (mc_params if mc_dt is None else jax.tree_util.tree_map(
+            lambda x: x.astype(mc_dt)
+            if x.dtype == jnp.float32 else x, mc_params))
 
-    params2 = init_m2trans(jax.random.PRNGKey(2), cfg)
-    opt2 = tx.init(params2)
-    params2, opt2, loss, cval = split_step(params2, opt2, key)
-    float(loss)
-    t0 = time.perf_counter()
-    n = 8
-    for i in range(n):
-        key, k = jax.random.split(key)
-        params2, opt2, loss, cval = split_step(params2, opt2, k)
-    float(loss), float(cval)
-    t_on = (time.perf_counter() - t0) / n
-    print(f"clip ON (lambda {lam}, split A+B): {t_on * 1e3:.1f} ms/step "
-          f"({BATCH / t_on:.1f} samples/s); clip overhead "
-          f"{(t_on - t_off) * 1e3:.1f} ms")
+        def split_step(p, opt_state, key, mc_p=mc_p):
+            sr = fwd_only(p, lr_img)
+            cval, g = clip_grad(mc_p, sr, hr_img, ids, msk, tti, key)
+            p, opt_state, loss = model_step(p, opt_state, lr_img, hr_img,
+                                            g.astype(jnp.float32), key)
+            return p, opt_state, loss, cval
+
+        params2 = init_m2trans(jax.random.PRNGKey(2), cfg)
+        opt2 = tx.init(params2)
+        params2, opt2, loss, cval = split_step(params2, opt2, key)
+        float(loss)
+        t0 = time.perf_counter()
+        n = 8
+        for i in range(n):
+            key, k = jax.random.split(key)
+            params2, opt2, loss, cval = split_step(params2, opt2, k)
+        float(loss), float(cval)
+        t_on = (time.perf_counter() - t0) / n
+        print(f"clip ON (lambda {lam}, split A+B, {mc_label}): "
+              f"{t_on * 1e3:.1f} ms/step ({BATCH / t_on:.1f} samples/s); "
+              f"clip overhead {(t_on - t_off) * 1e3:.1f} ms")
 
     if trace:
         from scripts.tpu_profile import report

@@ -226,3 +226,28 @@ def test_text_embedding_padding_invariant(tiny_loss, rng):
     t_pkg = np.asarray(encode_text(params, jnp.asarray(pad_ids),
                                    jnp.asarray(pad_mask), cfg_pkg))
     assert not np.allclose(t_short, t_pkg, atol=1e-3)
+
+
+def test_semantic_loss_bf16_close_to_f32(rng):
+    """bf16 MedCLIP compute (medclip_dtype speed mode) tracks the f32
+    loss on toy sizes."""
+    import jax.numpy as jnp
+
+    from m2trans_tpu.losses.semantic import SemanticLossFn
+
+    mcfg = MedCLIPConfig.tiny()
+    params = init_medclip(jax.random.PRNGKey(3), mcfg)
+    f32 = SemanticLossFn(params, mcfg, tokenizer=None, clip_size=56)
+    b16 = SemanticLossFn(params, mcfg, tokenizer=None, clip_size=56,
+                         dtype=jnp.bfloat16)
+    assert b16.params["vision_proj"]["w"].dtype == jnp.bfloat16
+
+    sr = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    hr = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    toks = {"input_ids": jnp.asarray(
+                rng.integers(5, 99, (2, 16)), jnp.int32),
+            "attention_mask": jnp.ones((2, 16), jnp.int32)}
+    key = jax.random.PRNGKey(0)
+    a = float(f32(sr, hr, toks, key))
+    b = float(b16(sr, hr, toks, key))
+    assert abs(a - b) < 0.05 * max(1.0, abs(a))
