@@ -31,6 +31,11 @@ def main() -> None:
                          "1 = force single-chip")
     ap.add_argument("--f32", action="store_true",
                     help="f32 parity numerics instead of bf16+Pallas")
+    ap.add_argument("--u8", action="store_true",
+                    help="quantize SR frames to uint8 on device: 4x "
+                         "smaller device->host transfer (the latency "
+                         "bound for large frames over slow links); "
+                         "lossless for 8-bit display/DICOM sinks")
     args = ap.parse_args()
 
     import imageio.v2 as imageio
@@ -74,7 +79,8 @@ def main() -> None:
             print(f"## auto spatial sharding: {mesh.shape['space']} shards "
                   f"over H for {len(shapes)} frame shape(s) ##")
 
-    runner = StreamingSR(params, cfg, mesh=mesh, policy=policy)
+    runner = StreamingSR(params, cfg, mesh=mesh, policy=policy,
+                         output_u8=args.u8)
 
     runner.warmup(frames[0].shape)
     if args.output:
@@ -85,7 +91,8 @@ def main() -> None:
     for path, sr in zip(paths, runner.stream(frames, collect_stats=True)):
         n_px += sr.shape[1] * sr.shape[2]
         if args.output:
-            u8 = np.clip(sr[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            u8 = (sr[0] if args.u8 else
+                  np.clip(sr[0] * 255.0 + 0.5, 0, 255).astype(np.uint8))
             imageio.imwrite(
                 os.path.join(args.output, os.path.basename(path)), u8)
     wall = time.perf_counter() - t0

@@ -45,6 +45,14 @@ _V5E = {
     # L=2 packing: W=96 g=2 measured slower than banded (13.4 vs 4.4 ms
     # chain) and W=192 g=2 OOMs scoped VMEM (19.05M > 16M) -> no budget.
     "packed_budget": {0: 36e6, 1: 27e6},
+    # Packed-FRONT cascade (packed full-res affine/DWT/IWT, per-subgroup
+    # native-C attention; halo_attn_packed.packed_front_cascade_impl) —
+    # the L=2 answer where full packing thrashes (G*C=512 lanes). v5e
+    # device self-times at W=96 g=8 sub=2 (est 17.9M): kernel 0.070 +
+    # pack/pad/unpack 0.033 vs banded 0.114 ms/call; sub=4 OOMs. W=128
+    # (est ~21.6M) untested -> budget 19e6 admits exactly the measured
+    # shape, the tiled kernel keeps W>=128.
+    "packed_front_budget": {2: 19e6},
     # DWT levels where the column-slab tiled cascade replaces the XLA
     # fallback beyond the banded gate. v5e-measured per call (scripts/
     # dissect_tiled.py): L=2 W=192 B=8 0.577 vs ~6.5 XLA, W=128 0.335 vs

@@ -1176,7 +1176,9 @@ def _make_cascade_fused(has_add: bool):
                   r, interpret, precision):
         from m2trans_tpu.ops.pallas.halo_attn_packed import (
             packed_cascade_impl,
+            packed_front_cascade_impl,
             pick_pack_g,
+            pick_packed_front,
         )
 
         g = pick_pack_g(x.shape[0], x.shape[2], x.shape[-1], levels,
@@ -1186,6 +1188,14 @@ def _make_cascade_fused(has_add: bool):
                 x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
                 halo=halo, levels=levels, g=g, r=r, interpret=interpret,
                 precision=precision)
+        pf = (pick_packed_front(x.shape[0], x.shape[2], x.shape[-1],
+                                levels, block, halo)
+              if x.shape[1] % (block * 2 ** levels) == 0 else None)
+        if pf is not None:
+            return packed_front_cascade_impl(
+                x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
+                halo=halo, levels=levels, g=pf[0], sub=pf[1], r=r,
+                interpret=interpret, precision=precision)
         c = x.shape[-1] * 4 ** levels
         if _banded_vmem_bytes(x.shape[2], x.shape[-1], c, block, halo,
                               levels) > _banded_limit(levels):

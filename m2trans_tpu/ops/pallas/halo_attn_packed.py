@@ -387,6 +387,320 @@ def unpack_batch(x, g, interpret=None):
     )(x)
 
 
+# ---------------------------------------------------------------------------
+# Packed-FRONT cascade (round-3, for L=2): full packing of the attention
+# contraction is counterproductive at C=256 (G*C >= 512 lanes thrash
+# VMEM; measured), but the L=2 kernel's cost is dominated by its
+# FULL-RESOLUTION stages — the affine and first DWT level run every VPU
+# op at 16/128 lane occupancy. This variant packs G images through the
+# affine + DWT pyramid (full lanes), unstacks per-image coarse tensors
+# in VMEM (cb-wide lane chunks; the p-layout scatters a per-image coarse
+# channel across subband blocks), runs the round-2 batched attention per
+# subgroup at the native C, re-packs, and runs the IWT packed.
+# ---------------------------------------------------------------------------
+
+
+def _rev4(s: int, digits: int) -> int:
+    """Digit-reverse s in base 4 over `digits` digits.
+
+    The recursive pyramid in _packed_front_kernel stores subbands
+    first-transform-major (buffer index s1*4^{L-1}+...+sL), while the
+    XLA cascade's channel layout after L stacked DWTs is
+    last-transform-major (flat index sL*4^{L-1}+...+s1) — the two are
+    base-4 digit reversals of each other.
+    """
+    r_ = 0
+    for _ in range(digits):
+        r_ = r_ * 4 + (s % 4)
+        s //= 4
+    return r_
+
+
+def _packed_front_kernel(*refs, block: int, halo: int, wc: int,
+                         levels: int, g: int, sub: int, precision,
+                         h: int, w: int, r: float, has_add: bool):
+    from m2trans_tpu.ops.pallas.halo_attn import _attend_batched
+
+    if has_add:
+        (xa, xb, aa, ab, s_ref, t_ref, wqkv_ref, relh_ref, relw_ref,
+         out_ref, *scratch) = refs
+    else:
+        (xa, xb, s_ref, t_ref, wqkv_ref, relh_ref, relw_ref,
+         out_ref, *scratch) = refs
+        aa = ab = None
+    sf = 2 ** levels
+    hs = halo * sf
+    ns = 4 ** levels
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    win = block + 2 * halo
+    wp = wc + 2 * halo
+    gcb = xa.shape[-1]
+    cb = gcb // g
+    c = cb * ns
+
+    # Scratch layout: every buffer stays exactly 128 lanes wide — Mosaic
+    # has no strided/sliced access for wider base memrefs ("last dim size
+    # is not 128 in original base memref"; the banded kernels never
+    # exceed 256). The pyramid levels are LISTS of per-subband scratches
+    # in s-major order: level l has 4^l buffers of (rows>>l, wp>>l, 128).
+    # VMEM economies: the FINAL pyramid level and the attention outputs
+    # are bf16 (both only read/written contiguously — the 32-bit-only
+    # strided Mosaic restriction applies to the earlier levels and the
+    # IWT stores, which stay f32).
+    assert gcb == 128, "packed-front requires g*cb == 128"
+    dwt_ls = []
+    pos = 0
+    for l in range(levels + 1):
+        dwt_ls.append(scratch[pos:pos + 4 ** l])
+        pos += 4 ** l
+    att_ls = scratch[pos:pos + ns]
+    pos += ns
+    iwt_ls = []
+    for l in range(levels):
+        cnt = 4 ** (levels - 1 - l)
+        iwt_ls.append(scratch[pos:pos + cnt])
+        pos += cnt
+
+    x = jnp.concatenate([xa[0], xb[0]], axis=0)
+    x_add = None
+    if has_add:
+        x_add = jnp.concatenate([aa[0], ab[0]], axis=0)[None]
+    sv = s_ref[pl.ds(b, 1), :]
+    tv = t_ref[pl.ds(b, 1), :]
+    z = _affine_band(x[None], x_add, sv, tv, i=i, h=h, w=w, block=block,
+                     halo=halo, levels=levels, r=r)[0]
+
+    # packed DWT pyramid (full-lane strided quad loads per 128-wide
+    # subband; strided access must go through f32 refs, never values)
+    dwt_ls[0][0][:] = z.astype(jnp.float32)
+    for l in range(levels):
+        for si, src in enumerate(dwt_ls[l]):
+            a = src[0::2, 0::2, :]
+            bb_ = src[1::2, 0::2, :]
+            cc = src[0::2, 1::2, :]
+            dd = src[1::2, 1::2, :]
+            dsts = dwt_ls[l + 1][4 * si:4 * si + 4]
+            for dst, val in zip(dsts, (
+                    (a + bb_ + cc + dd), (-a - bb_ + cc + dd),
+                    (-a + bb_ - cc + dd), (a - bb_ - cc + dd))):
+                dst[:] = (val * 0.5).astype(dst.dtype)
+
+    relh = relh_ref[:].astype(jnp.float32)
+    relw = relw_ref[:].astype(jnp.float32)
+    c2 = c // 2
+    # full-buffer contiguous loads, cast to f32 BEFORE the cb-wide lane
+    # slicing (sub-128 bf16 lane slices are a Mosaic hazard)
+    groups = [buf[:].astype(jnp.float32) for buf in dwt_ls[levels]]
+    outs = [None] * g
+    for s0 in range(0, g, sub):
+        # unstack `sub` images: per image, its coarse channels are ns
+        # cb-wide lane chunks (p-layout), sub-sliced from 128-wide values
+        imgs = []
+        for img in range(s0, s0 + sub):
+            chunks = [groups[_rev4(sidx, levels)][:, :,
+                                                  img * cb:(img + 1) * cb]
+                      for sidx in range(ns)]
+            imgs.append(jnp.concatenate(chunks, axis=-1))
+        zsub = jnp.stack(imgs, axis=0).astype(jnp.bfloat16)
+
+        zf = zsub.reshape(sub * win * wp, c)
+        qkv = jnp.dot(zf, wqkv_ref[:], preferred_element_type=jnp.float32,
+                      precision=precision).reshape(sub, win, wp, 3 * c)
+        q_full = qkv[:, halo:halo + block, halo:halo + wc, :c] \
+            * (c ** -0.5)
+        kv_full = jnp.concatenate(
+            [qkv[..., c:c + c2] + relh[None, :, None, :],
+             qkv[..., c + c2:]], axis=-1)
+        out_sub = _attend_batched(q_full, kv_full, relw, block=block,
+                                  halo=halo, wc=wc, precision=precision)
+        for k, img in enumerate(range(s0, s0 + sub)):
+            outs[img] = out_sub[k]
+    # re-pack: per subband, concat the g images' cb-wide chunks (sliced
+    # through 128-wide intermediates when C > 128) into its 128-wide
+    # scratch
+    if c > 128:
+        out128 = [[outs[img][:, :, k * 128:(k + 1) * 128]
+                   for k in range(c // 128)] for img in range(g)]
+
+        def chunk(img, sidx):
+            p0 = sidx * cb
+            return out128[img][p0 // 128][:, :, p0 % 128:p0 % 128 + cb]
+    else:
+        def chunk(img, sidx):
+            return outs[img][:, :, sidx * cb:(sidx + 1) * cb]
+
+    for sidx in range(ns):
+        att_ls[_rev4(sidx, levels)][:] = jnp.concatenate(
+            [chunk(img, sidx) for img in range(g)],
+            axis=-1).astype(att_ls[0].dtype)
+
+    # packed IWT: 4 subband scratches -> one double-resolution scratch
+    cur = att_ls
+    for l in range(levels):
+        nxt = iwt_ls[l]
+        for di, dst in enumerate(nxt):
+            ll = cur[4 * di][:].astype(jnp.float32)
+            hl = cur[4 * di + 1][:].astype(jnp.float32)
+            lh = cur[4 * di + 2][:].astype(jnp.float32)
+            hh = cur[4 * di + 3][:].astype(jnp.float32)
+            dst[0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
+            dst[0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
+            dst[1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
+            dst[1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
+        cur = nxt
+
+    blk_full = block * sf
+    res = z[hs:hs + blk_full, hs:hs + w, :].astype(jnp.float32)
+    out_ref[0] = (cur[0][:] + res).astype(out_ref.dtype)
+
+
+def packed_front_vmem_bytes(w, cb, g, block, halo, levels):
+    """Scratch + io + live estimate for the packed-front kernel."""
+    sf = 2 ** levels
+    win = block + 2 * halo
+    wp_full = w + 2 * halo * sf
+    blk_full = block * sf
+    wc = w // sf
+    gcb = g * cb
+    rows0 = win * sf
+    hs = halo * sf
+    # in views: full band + 2*hs tail rows, 2 pipeline buffers, bf16
+    total = 2 * 2 * (blk_full + 2 * hs) * wp_full * _lanes(gcb)
+    total += 2 * 2 * blk_full * w * _lanes(gcb)            # out blocks
+    total += 4 * rows0 * wp_full * _lanes(gcb)             # z band (f32)
+    for l in range(levels + 1):                            # packed DWT
+        bpe = 2 if l == levels else 4
+        total += bpe * (rows0 >> l) * (wp_full >> l) * _lanes(gcb * 4 ** l)
+    total += 2 * block * wc * _lanes(gcb * 4 ** levels)    # att_pack bf16
+    for l in range(levels):                                # packed IWT f32
+        total += 4 * (block << (l + 1)) * (wc << (l + 1)) * _lanes(
+            gcb * 4 ** levels >> (2 * (l + 1)))
+    # per-subgroup live: qkv f32 + patches/logits (sub=2)
+    c = cb * 4 ** levels
+    wp = wc + 2 * halo
+    total += 4 * 2 * win * wp * 3 * c
+    total += 4 * 2 * (wc // block) * 2 * win * win * _lanes(c)
+    return total
+
+
+def packed_front_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
+                              block, halo, levels, g, r, interpret,
+                              sub: int = 2, precision=None):
+    """Packed-front cascade branch (see _packed_front_kernel). Same
+    contract as packed_cascade_impl."""
+    bsz, h, w, cb = x.shape
+    sf = 2 ** levels
+    c = cb * 4 ** levels
+    win = block + 2 * halo
+    wc = w // sf
+    gcb = g * cb
+
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if x_add is not None else None
+    sp = s.astype(jnp.float32).reshape(bsz // g, gcb)
+    tp = t.astype(jnp.float32).reshape(bsz // g, gcb)
+
+    nh = h // (block * sf)
+    blk_full = block * sf
+    hs = halo * sf
+    pad_bottom = (nh + 1) * blk_full - h - hs
+    pads = ((0, 0), (hs, pad_bottom), (hs, hs), (0, 0))
+    xpp = jnp.pad(xp, pads)
+    wp_full = w + 2 * hs
+    has_add = ap is not None
+
+    kernel = functools.partial(_packed_front_kernel, block=block,
+                               halo=halo, wc=wc, levels=levels, g=g,
+                               sub=sub, precision=precision, h=h, w=w,
+                               r=float(r), has_add=has_add)
+    band_spec = pl.BlockSpec(
+        (1, blk_full, wp_full, gcb), lambda b, i: (b, i, 0, 0),
+        memory_space=pltpu.VMEM)
+    # the halo below band i is only 2*hs rows — view the same array at
+    # 2*hs-row granularity instead of loading a second full band
+    assert blk_full % (2 * hs) == 0
+    step = blk_full // (2 * hs)
+    tail_spec = pl.BlockSpec(
+        (1, 2 * hs, wp_full, gcb),
+        lambda b, i: (b, (i + 1) * step, 0, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: tuple(0 for _ in shp), memory_space=pltpu.VMEM)
+    per_img = pl.BlockSpec((bsz // g, gcb), lambda b, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xpp, xpp]
+    in_specs = [band_spec, tail_spec]
+    if has_add:
+        app = jnp.pad(ap, pads)
+        operands += [app, app]
+        in_specs += [band_spec, tail_spec]
+    operands += [sp, tp, w_qkv.astype(x.dtype), rel_h.astype(jnp.float32),
+                 rel_w.astype(jnp.float32)]
+    in_specs += [per_img, per_img, const((c, 3 * c)),
+                 const((win, c // 2)), const((win, c // 2))]
+
+    # Scratch: per-subband 128-lane buffers (see kernel header) — level l
+    # of the DWT pyramid is 4^l buffers (final level bf16), attention
+    # output is 4^levels bf16 buffers, IWT level l is 4^(levels-1-l) f32
+    # buffers, all gcb lanes wide.
+    rows0 = win * sf
+    scratch = []
+    for l in range(levels + 1):
+        dt = jnp.bfloat16 if l == levels else jnp.float32
+        scratch += [pltpu.VMEM(((rows0 >> l), (wp_full >> l), gcb),
+                               dt)] * (4 ** l)
+    scratch += [pltpu.VMEM((block, wc, gcb), jnp.bfloat16)] * (4 ** levels)
+    for l in range(levels):
+        scratch += [pltpu.VMEM(
+            (block << (l + 1), wc << (l + 1), gcb),
+            jnp.float32)] * (4 ** (levels - 1 - l))
+
+    nw = wc // block
+    flops_per_band = (
+        2 * g * win * (wc + 2 * halo) * c * 3 * c
+        + nw * (2 * g * block * block * win * win * c * 2))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz // g, nh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk_full, w, gcb),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w, gcb), x.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_band * (bsz // g) * nh),
+            bytes_accessed=int((3 if has_add else 2) * x.size
+                               * x.dtype.itemsize),
+            transcendentals=int(bsz * h * w * win * win // sf ** 2)),
+        interpret=interpret,
+    )(*operands)
+    return unpack_batch(out, g, interpret)
+
+
+def pick_packed_front(bsz: int, w: int, cb: int, levels: int,
+                      block: int = 8, halo: int = 1):
+    """(g, sub) for the packed-front cascade variant, or None.
+
+    Requires g*cb == 128 exactly (the kernel's scratch layout), g | bsz,
+    and the VMEM estimate under the device budget (absent budget = off
+    for that level; see device.py packed_front_budget for the v5e
+    evidence)."""
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    budget = gate_profile().get("packed_front_budget", {}).get(levels)
+    if not budget or 128 % cb:
+        return None
+    g = 128 // cb
+    if g < 2 or bsz % g or w % (block * 2 ** levels):
+        return None
+    if packed_front_vmem_bytes(w, cb, g, block, halo, levels) > budget:
+        return None
+    return g, 2
+
+
 def pick_pack_g(bsz: int, w: int, cb: int, levels: int,
                 block: int = 8, halo: int = 1) -> int:
     """Largest profitable lane-pack group for the cascade dispatch

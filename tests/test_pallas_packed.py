@@ -96,3 +96,24 @@ def test_packed_weight_layout():
             np.testing.assert_allclose(
                 got[j * g * c + p], want_per_img[slot[p], j * c + d[p]],
                 rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_add", [False, True])
+@pytest.mark.parametrize("levels", [1, 2])
+def test_packed_front_matches_xla(levels, with_add):
+    """Packed-front variant (packed affine/DWT/IWT, per-subgroup native-C
+    attention) == XLA composition."""
+    rng = np.random.default_rng(5 + levels)
+    g, cb = 8, 16
+    b, h, w = g, 32, 32
+    x, xa, s, t, w_qkv, rel_h, rel_w = _mk(rng, b, h, w, cb, levels,
+                                           with_add)
+    r = 0.5 if with_add else 0.0
+    got = pk.packed_front_cascade_impl(
+        x, xa, s, t, w_qkv, rel_h, rel_w, block=8, halo=1, levels=levels,
+        g=g, r=r, interpret=True)
+    want = _cascade_xla(x, xa, s, t, w_qkv, rel_h, rel_w, block=8,
+                        halo=1, levels=levels, r=r)
+    g32, w32 = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    np.testing.assert_allclose(g32, w32, atol=5e-2, rtol=5e-2)
+    assert float(np.abs(g32 - w32).mean()) < 5e-3

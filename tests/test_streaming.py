@@ -37,3 +37,18 @@ def test_stream_spatially_sharded(rng):
     out = runner(frame)
     want = np.asarray(m2trans_apply(params, frame, cfg, policy=pol))
     np.testing.assert_allclose(out, want, atol=2e-4)
+
+
+def test_stream_u8_output(rng):
+    """output_u8 quantizes on device: uint8 frames == round(f32*255)."""
+    cfg = Config(scale=2, n_feats=8, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(2), cfg)
+    pol = policy_from_config(cfg)
+    runner = StreamingSR(params, cfg, policy=pol, output_u8=True)
+    frame = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    out = runner(frame)
+    assert out.dtype == np.uint8
+    want = np.asarray(m2trans_apply(params, frame, cfg, policy=pol))
+    want_u8 = np.round(np.clip(want, 0, 1) * 255.0).astype(np.uint8)
+    # allow +-1 code on exact-half rounding (device rounds to even)
+    assert np.abs(out.astype(int) - want_u8.astype(int)).max() <= 1
