@@ -55,12 +55,26 @@ class ComputePolicy:
     # precision); bf16 mode leaves it None for full MXU speed.
     precision: Optional[lax.Precision] = lax.Precision.HIGHEST
     use_pallas: bool = False
+    # Whole-CFTM packed flow (inference-only: the packed-core kernels
+    # carry no vjp): pack the 64-ch body tensor once per CFTM into a
+    # branch-major (B/8, H, W, 512) lane layout, run every branch and
+    # cascade fold packed, unpack once before the ff conv. Eliminates
+    # the per-branch pack/unpack round trips AND the XLA staging copies
+    # that 16-lane slicing of a 64-lane tensor forces. Engaged only when
+    # every branch's packed gate passes (_packed_body_ok); training
+    # keeps this False.
+    packed_body: bool = False
 
 
-def policy_from_config(cfg: Config) -> ComputePolicy:
+def policy_from_config(cfg: Config, *,
+                       for_training: bool = False) -> ComputePolicy:
+    """Numerics policy for ``cfg``. ``for_training`` disables the
+    forward-only packed-body flow (its core kernels carry no vjp; the
+    differentiable per-branch fused path is used under jax.grad)."""
     if cfg.dtype == "bfloat16":
         return ComputePolicy(dtype=jnp.bfloat16, precision=None,
-                             use_pallas=cfg.use_pallas)
+                             use_pallas=cfg.use_pallas,
+                             packed_body=not for_training)
     return ComputePolicy(dtype=jnp.float32, precision=lax.Precision.HIGHEST,
                          use_pallas=cfg.use_pallas)
 
@@ -245,6 +259,11 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
     """Coarse-to-Fine Transformer Module (reference CFTM.forward :132-164,
     norm=True path)."""
     if policy.use_pallas and policy.dtype == jnp.bfloat16:
+        if (policy.packed_body
+                and _packed_body_ok(x.shape[0], x.shape[1], x.shape[2],
+                                    x.shape[-1] // 4, block, halo)):
+            return _cftm_apply_fused_packed(p, x, policy=policy,
+                                            block=block, halo=halo)
         return _cftm_apply_fused(p, x, policy=policy, block=block,
                                  halo=halo)
     branch = make_branch_fn(p, policy, block=block, halo=halo)
@@ -266,6 +285,123 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
     ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",
                 dtype=policy.dtype, precision=policy.precision)
     return ff + x
+
+
+def _packed_body_ok(bsz: int, h: int, w: int, cb: int, block: int,
+                    halo: int) -> bool:
+    """True when every CFTM branch has a packed kernel at this shape, so
+    the whole-CFTM packed flow can engage (see ComputePolicy.packed_body):
+    L=0 full-pack g=8, L=1 full-pack g=4, L=2 packed-front."""
+    from m2trans_tpu.ops.pallas.halo_attn_packed import (
+        pick_pack_g,
+        pick_packed_front,
+    )
+
+    if cb * 8 != 128 or bsz % 8 or h % (block * 4) or w % (block * 4):
+        return False
+    return (pick_pack_g(bsz, w, cb, 0, block, halo) == 8
+            and pick_pack_g(bsz, w, cb, 1, block, halo) == 4
+            and pick_packed_front(bsz, w, cb, 2, block, halo) is not None)
+
+
+def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
+                             policy: ComputePolicy, block: int,
+                             halo: int) -> jnp.ndarray:
+    """bf16+Pallas CFTM with the body held PACKED through the cascade.
+
+    pack_body lays the (B, H, W, 64) tensor out branch-major as
+    (B/8, H, W, 512) — branch k's 8-image slot-major pack is the
+    contiguous 128-lane block at offset k*128, so each branch kernel
+    consumes/produces its native packed layout with no per-branch
+    pack/unpack and no XLA relayout staging. Instance-norm statistics
+    are computed on the unpacked input (identical values, reordered
+    lanes); cascade folds are elementwise on packed blocks; one
+    unpack_body feeds the ff conv. Matches _cftm_apply_fused output to
+    f32-accumulation noise (reference CFTM.forward :132-164)."""
+    from m2trans_tpu.ops.pallas.halo_attn_packed import (
+        pack_body,
+        packed_cascade_core,
+        packed_front_core,
+        pick_packed_front,
+        unpack_body,
+    )
+
+    bsz = x.shape[0]
+    g = 8
+    bp = bsz // g
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2))
+    var = jnp.mean(jnp.square(xf), axis=(1, 2)) - jnp.square(mean)
+    inv = lax.rsqrt(var + 1e-5)
+    tfull = -mean * inv
+    cb = x.shape[-1] // 4
+
+    xp = pack_body(x.astype(policy.dtype), g)  # (bp, H, W, 512)
+
+    def st_packed(k):
+        # branch-k packed affine: (bsz, cb) -> (bp, g*cb) slot-major
+        sk = inv[:, k * cb:(k + 1) * cb].reshape(bp, g * cb)
+        tk = tfull[:, k * cb:(k + 1) * cb].reshape(bp, g * cb)
+        return sk, tk
+
+    def fold(xk, prev, sk, tk):
+        # cascade average folded into the affine (see _cftm_apply_fused)
+        if prev is None:
+            return xk, sk, tk
+        sk, tk = sk * 0.5, tk * 0.5
+        xk = (xk.astype(jnp.float32)
+              + prev.astype(jnp.float32)
+              * (0.5 / sk)[:, None, None, :]).astype(policy.dtype)
+        return xk, sk, tk
+
+    def wq(name, levels):
+        c = cb * 4 ** levels
+        return p[name]["qkv_w"].reshape(c, 3 * c).astype(policy.dtype)
+
+    def block_k(k):
+        return xp[..., k * 128:(k + 1) * 128]
+
+    from m2trans_tpu.ops.pallas.halo_attn import _is_tpu_backend
+
+    kw = dict(cb=cb, block=block, halo=halo, r=0.0,
+              interpret=not _is_tpu_backend(),
+              precision=policy.precision)
+
+    # branch 1: L=0, full-pack g=8
+    s1, t1 = st_packed(0)
+    o1 = packed_cascade_core(block_k(0), None, s1, t1, wq("attn1", 0),
+                             p["attn1"]["rel_h"], p["attn1"]["rel_w"],
+                             levels=0, g=8, **kw)
+
+    # branch 2: L=1, full-pack g=4 — the (bp, .., 128) block is two
+    # g=4 packs on lane halves; restack halves onto the batch axis
+    s2, t2 = st_packed(1)
+    x2, s2, t2 = fold(block_k(1), o1, s2, t2)
+    x2h = jnp.concatenate([x2[..., :64], x2[..., 64:]], axis=0)
+    s2h = jnp.concatenate([s2[:, :64], s2[:, 64:]], axis=0)
+    t2h = jnp.concatenate([t2[:, :64], t2[:, 64:]], axis=0)
+    o2h = packed_cascade_core(x2h, None, s2h, t2h, wq("attn2", 1),
+                              p["attn2"]["rel_h"], p["attn2"]["rel_w"],
+                              levels=1, g=4, **kw)
+    o2 = jnp.concatenate([o2h[:bp], o2h[bp:]], axis=-1)
+
+    # branches 3, 4: L=2, packed-front g=8
+    _, sub = pick_packed_front(bsz, x.shape[2], cb, 2, block, halo)
+    s3, t3 = st_packed(2)
+    x3, s3, t3 = fold(block_k(2), o2, s3, t3)
+    o3 = packed_front_core(x3, None, s3, t3, wq("attn3", 2),
+                           p["attn3"]["rel_h"], p["attn3"]["rel_w"],
+                           levels=2, g=8, sub=sub, **kw)
+    s4, t4 = st_packed(3)
+    x4, s4, t4 = fold(block_k(3), o3, s4, t4)
+    o4 = packed_front_core(x4, None, s4, t4, wq("attn4", 2),
+                           p["attn4"]["rel_h"], p["attn4"]["rel_w"],
+                           levels=2, g=8, sub=sub, **kw)
+
+    xc = unpack_body(jnp.concatenate([o1, o2, o3, o4], axis=-1), g)
+    ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",
+                dtype=policy.dtype, precision=policy.precision)
+    return ff + x.astype(policy.dtype)
 
 
 def _cftm_apply_fused(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,

@@ -332,6 +332,23 @@ def _unpack_kernel(x_ref, out_ref, *, g):
         out_ref[s] = band[..., s * cb:(s + 1) * cb].astype(out_ref.dtype)
 
 
+def _pack_body_kernel(x_ref, out_ref, *, g, nb):
+    cb = x_ref.shape[-1] // nb
+    imgs = [x_ref[s].astype(jnp.float32) for s in range(g)]
+    parts = [imgs[s][..., k * cb:(k + 1) * cb]
+             for k in range(nb) for s in range(g)]
+    out_ref[0] = jnp.concatenate(parts, axis=-1).astype(out_ref.dtype)
+
+
+def _unpack_body_kernel(x_ref, out_ref, *, g, nb):
+    cb = out_ref.shape[-1] // nb
+    band = x_ref[0].astype(jnp.float32)
+    for s in range(g):
+        parts = [band[..., (k * g + s) * cb:(k * g + s + 1) * cb]
+                 for k in range(nb)]
+        out_ref[s] = jnp.concatenate(parts, axis=-1).astype(out_ref.dtype)
+
+
 def pack_batch(x, g, interpret=None):
     """(B, H, W, cb) -> (B/G, H, W, G*cb) slot-major lane pack, as a
     trivial Pallas kernel (grid over row bands; pure DMA + lane concat).
@@ -358,6 +375,56 @@ def pack_batch(x, g, interpret=None):
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b // g, h, w, g * cb), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+def pack_body(x, g, nb=4, interpret=None):
+    """(B, H, W, C) -> (B/G, H, W, G*C) BRANCH-MAJOR lane pack: output
+    lane p = k*(G*cb) + slot*cb + c for branch-group k (cb = C/nb). Each
+    branch's G-image slot-major pack occupies one contiguous G*cb-lane
+    block, so the whole-CFTM packed flow reads branch k at lane offset
+    k*G*cb with no relayout (the per-branch 16-lane slicing of the
+    64-lane body tensor is what forced XLA's {3,0,2,1} staging copies)."""
+    b, h, w, c = x.shape
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    import math
+
+    rows = math.gcd(h, _PACK_ROWS)
+    return pl.pallas_call(
+        functools.partial(_pack_body_kernel, g=g, nb=nb),
+        grid=(b // g, h // rows),
+        in_specs=[pl.BlockSpec((g, rows, w, c),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rows, w, g * c),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b // g, h, w, g * c), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+def unpack_body(x, g, nb=4, interpret=None):
+    """Inverse of pack_body."""
+    bp, h, w, gc = x.shape
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    import math
+
+    c = gc // g
+    rows = math.gcd(h, _PACK_ROWS)
+    return pl.pallas_call(
+        functools.partial(_unpack_body_kernel, g=g, nb=nb),
+        grid=(bp, h // rows),
+        in_specs=[pl.BlockSpec((1, rows, w, gc),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g, rows, w, c),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp * g, h, w, c), x.dtype),
         interpret=interpret,
     )(x)
 
@@ -589,17 +656,30 @@ def packed_front_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
                               sub: int = 2, precision=None):
     """Packed-front cascade branch (see _packed_front_kernel). Same
     contract as packed_cascade_impl."""
-    bsz, h, w, cb = x.shape
+    bsz = x.shape[0]
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if x_add is not None else None
+    sp = s.astype(jnp.float32).reshape(bsz // g, g * x.shape[-1])
+    tp = t.astype(jnp.float32).reshape(bsz // g, g * x.shape[-1])
+    out = packed_front_core(
+        xp, ap, sp, tp, w_qkv, rel_h, rel_w, cb=x.shape[-1], block=block,
+        halo=halo, levels=levels, g=g, r=r, sub=sub, interpret=interpret,
+        precision=precision)
+    return unpack_batch(out, g, interpret)
+
+
+def packed_front_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb, block,
+                      halo, levels, g, r, interpret, sub: int = 2,
+                      precision=None):
+    """Packed-front cascade on an ALREADY slot-major-packed input
+    (B/G, H, W, G*cb); returns the PACKED output of the same shape."""
+    bp, h, w, gcb = xp.shape
+    assert gcb == g * cb
+    bsz = bp * g
     sf = 2 ** levels
     c = cb * 4 ** levels
     win = block + 2 * halo
     wc = w // sf
-    gcb = g * cb
-
-    xp = pack_batch(x, g, interpret)
-    ap = pack_batch(x_add, g, interpret) if x_add is not None else None
-    sp = s.astype(jnp.float32).reshape(bsz // g, gcb)
-    tp = t.astype(jnp.float32).reshape(bsz // g, gcb)
 
     nh = h // (block * sf)
     blk_full = block * sf
@@ -636,8 +716,8 @@ def packed_front_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
         app = jnp.pad(ap, pads)
         operands += [app, app]
         in_specs += [band_spec, tail_spec]
-    operands += [sp, tp, w_qkv.astype(x.dtype), rel_h.astype(jnp.float32),
-                 rel_w.astype(jnp.float32)]
+    operands += [sp, tp, w_qkv.astype(xp.dtype),
+                 rel_h.astype(jnp.float32), rel_w.astype(jnp.float32)]
     in_specs += [per_img, per_img, const((c, 3 * c)),
                  const((win, c // 2)), const((win, c // 2))]
 
@@ -668,16 +748,16 @@ def packed_front_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
         out_specs=pl.BlockSpec((1, blk_full, w, gcb),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w, gcb), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w, gcb), xp.dtype),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_band * (bsz // g) * nh),
-            bytes_accessed=int((3 if has_add else 2) * x.size
-                               * x.dtype.itemsize),
+            bytes_accessed=int((3 if has_add else 2) * xp.size
+                               * xp.dtype.itemsize),
             transcendentals=int(bsz * h * w * win * win // sf ** 2)),
         interpret=interpret,
     )(*operands)
-    return unpack_batch(out, g, interpret)
+    return out
 
 
 def pick_packed_front(bsz: int, w: int, cb: int, levels: int,
@@ -734,21 +814,37 @@ def packed_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
     """Packed fused cascade branch. Args are the UNPACKED per-image
     tensors (same contract as halo_attn._cascade_banded_impl); packing
     and weight/bias preparation happen here in XLA."""
-    bsz, h, w, cb = x.shape
+    bsz = x.shape[0]
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if x_add is not None else None
+    sp = s.astype(jnp.float32).reshape(bsz // g, g * x.shape[-1])
+    tp = t.astype(jnp.float32).reshape(bsz // g, g * x.shape[-1])
+    out = packed_cascade_core(
+        xp, ap, sp, tp, w_qkv, rel_h, rel_w, cb=x.shape[-1], block=block,
+        halo=halo, levels=levels, g=g, r=r, interpret=interpret,
+        precision=precision)
+    return unpack_batch(out, g, interpret)
+
+
+def packed_cascade_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb,
+                        block, halo, levels, g, r, interpret,
+                        precision=None):
+    """Packed fused cascade on an ALREADY slot-major-packed input
+    (B/G, H, W, G*cb); returns the PACKED output of the same shape
+    (callers that hold the whole CFTM body packed skip the per-branch
+    pack/unpack round trips)."""
+    bp, h, w, gcb = xp.shape
+    assert gcb == g * cb
+    bsz = bp * g
     sf = 2 ** levels
     win = block + 2 * halo
     wc = w // sf
     gc = g * cb * 4 ** levels
-    gcb = g * cb
 
-    xp = pack_batch(x, g, interpret)
-    ap = pack_batch(x_add, g, interpret) if x_add is not None else None
-    sp = s.astype(jnp.float32).reshape(bsz // g, gcb)
-    tp = t.astype(jnp.float32).reshape(bsz // g, gcb)
     w_p, relh_p, relw_p = pack_branch_weights(
         w_qkv, rel_h.astype(jnp.float32), rel_w.astype(jnp.float32),
         cb=cb, g=g, levels=levels)
-    w_p = w_p.astype(x.dtype)
+    w_p = w_p.astype(xp.dtype)
 
     nh = h // (block * sf)
     blk_full = block * sf
@@ -792,14 +888,14 @@ def packed_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
         out_specs=pl.BlockSpec((1, blk_full, w, gcb),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w, gcb), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w, gcb), xp.dtype),
         scratch_shapes=_packed_scratch_shapes(wp_full, wc, gcb, gc, block,
                                               halo, levels),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_band * (bsz // g) * nh),
-            bytes_accessed=int((3 if has_add else 2) * x.size
-                               * x.dtype.itemsize),
+            bytes_accessed=int((3 if has_add else 2) * xp.size
+                               * xp.dtype.itemsize),
             transcendentals=int(bsz * h * w * win * win // sf ** 2)),
         interpret=interpret,
     )(*operands)
-    return unpack_batch(out, g, interpret)
+    return out

@@ -45,7 +45,7 @@ class StreamingSR:
     @staticmethod
     def default_policy() -> ComputePolicy:
         return ComputePolicy(dtype=jnp.bfloat16, precision=None,
-                             use_pallas=True)
+                             use_pallas=True, packed_body=True)
 
     def __init__(self, params, cfg: Config, *, mesh=None,
                  policy: Optional[ComputePolicy] = None, depth: int = 2,

@@ -81,7 +81,7 @@ def make_train_step(
     """Builds the jitted train step. ``do_cutout`` is a static arg (two
     executables at most: cutout only runs while epoch < 0.2*epochs,
     reference train.py:180-181)."""
-    policy = policy_from_config(cfg)
+    policy = policy_from_config(cfg, for_training=True)
     cutout_len = int(0.1 * cfg.patch_size // cfg.scale)
 
     @partial(jax.jit, static_argnames=("do_cutout",), donate_argnums=(0, 1))

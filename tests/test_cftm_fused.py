@@ -149,3 +149,25 @@ def test_cascade_tiled_multi_slab_exact():
     np.testing.assert_allclose(split.astype(np.float32),
                                whole.astype(np.float32), atol=2e-2,
                                rtol=2e-2)
+
+
+def test_cftm_packed_body_matches_plain(rng):
+    """Whole-CFTM packed flow (packed_body policy): must match the plain
+    bf16 composition at a flagship-like shape (n_feats=64, bsz=8)."""
+    from m2trans_tpu.models.m2trans import _packed_body_ok
+
+    cfg = Config(scale=4, n_feats=64, n_blocks=1)
+    blk = init_m2trans(jax.random.PRNGKey(1), cfg)["body"][0]
+    x = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 64)).astype(np.float32))
+    assert _packed_body_ok(8, 32, 32, 16, 8, 1)
+
+    plain = ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                          use_pallas=False)
+    packed = ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                           use_pallas=True, packed_body=True)
+    want = np.asarray(cftm_apply(blk, x.astype(jnp.bfloat16),
+                                 policy=plain)).astype(np.float32)
+    got = np.asarray(cftm_apply(blk, x.astype(jnp.bfloat16),
+                                policy=packed)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+    assert float(np.abs(got - want).mean()) < 5e-3
