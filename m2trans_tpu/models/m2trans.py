@@ -289,9 +289,15 @@ def cftm_apply(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
 
 def _packed_body_ok(bsz: int, h: int, w: int, cb: int, block: int,
                     halo: int) -> bool:
-    """True when every CFTM branch has a packed kernel at this shape, so
+    """True when every CFTM branch has a Pallas kernel at this shape, so
     the whole-CFTM packed flow can engage (see ComputePolicy.packed_body):
-    L=0 full-pack g=8, L=1 full-pack g=4, L=2 packed-front."""
+    L=0 full-pack g=8, L=1 full-pack g=4, L=2 packed-front where its VMEM
+    gate admits the width, otherwise the width-tolerant banded/tiled
+    kernels on a per-branch unpack (the ×2/×3 body widths W=192/128)."""
+    from m2trans_tpu.ops.pallas.halo_attn import (
+        _banded_limit,
+        _banded_vmem_bytes,
+    )
     from m2trans_tpu.ops.pallas.halo_attn_packed import (
         pick_pack_g,
         pick_packed_front,
@@ -299,9 +305,24 @@ def _packed_body_ok(bsz: int, h: int, w: int, cb: int, block: int,
 
     if cb * 8 != 128 or bsz % 8 or h % (block * 4) or w % (block * 4):
         return False
-    return (pick_pack_g(bsz, w, cb, 0, block, halo) == 8
-            and pick_pack_g(bsz, w, cb, 1, block, halo) == 4
-            and pick_packed_front(bsz, w, cb, 2, block, halo) is not None)
+    if not (pick_pack_g(bsz, w, cb, 0, block, halo) == 8
+            and pick_pack_g(bsz, w, cb, 1, block, halo) == 4):
+        return False
+    if pick_packed_front(bsz, w, cb, 2, block, halo) is not None:
+        return True
+    # L=2 fallback: branches 3/4 run unpacked through the fused dispatch;
+    # require a non-XLA kernel (banded fits, or the tiled cascade is
+    # calibrated for L=2 and a single-slab band fits)
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    c = cb * 16
+    if _banded_vmem_bytes(w, cb, c, block, halo, 2) <= _banded_limit(2):
+        return True
+    blk_full = block * 4
+    return (2 in gate_profile().get("tiled_levels", ())
+            and w > blk_full
+            and _banded_vmem_bytes(blk_full, cb, c, block, halo,
+                                   2) <= _banded_limit(2))
 
 
 def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
@@ -385,18 +406,35 @@ def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
                               levels=1, g=4, **kw)
     o2 = jnp.concatenate([o2h[:bp], o2h[bp:]], axis=-1)
 
-    # branches 3, 4: L=2, packed-front g=8
-    _, sub = pick_packed_front(bsz, x.shape[2], cb, 2, block, halo)
+    # branches 3, 4: L=2 — packed-front g=8 where its VMEM gate admits
+    # the width; otherwise per-branch unpack -> the width-tolerant
+    # banded/tiled fused dispatch -> repack (×2/×3 body widths)
+    pf = pick_packed_front(bsz, x.shape[2], cb, 2, block, halo)
+
+    def branch_l2(name, xk, sk, tk):
+        if pf is not None:
+            return packed_front_core(xk, None, sk, tk, wq(name, 2),
+                                     p[name]["rel_h"], p[name]["rel_w"],
+                                     levels=2, g=8, sub=pf[1], **kw)
+        from m2trans_tpu.ops.pallas.halo_attn import cftm_branch_fused
+        from m2trans_tpu.ops.pallas.halo_attn_packed import (
+            pack_batch,
+            unpack_batch,
+        )
+
+        ou = cftm_branch_fused(
+            unpack_batch(xk, g), wq(name, 2), p[name]["rel_h"],
+            p[name]["rel_w"], sk.reshape(bsz, cb), tk.reshape(bsz, cb),
+            levels=2, block=block, halo=halo, interpret=kw["interpret"],
+            precision=policy.precision)
+        return pack_batch(ou, g)
+
     s3, t3 = st_packed(2)
     x3, s3, t3 = fold(block_k(2), o2, s3, t3)
-    o3 = packed_front_core(x3, None, s3, t3, wq("attn3", 2),
-                           p["attn3"]["rel_h"], p["attn3"]["rel_w"],
-                           levels=2, g=8, sub=sub, **kw)
+    o3 = branch_l2("attn3", x3, s3, t3)
     s4, t4 = st_packed(3)
     x4, s4, t4 = fold(block_k(3), o3, s4, t4)
-    o4 = packed_front_core(x4, None, s4, t4, wq("attn4", 2),
-                           p["attn4"]["rel_h"], p["attn4"]["rel_w"],
-                           levels=2, g=8, sub=sub, **kw)
+    o4 = branch_l2("attn4", x4, s4, t4)
 
     xc = unpack_body(jnp.concatenate([o1, o2, o3, o4], axis=-1), g)
     ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",

@@ -1173,7 +1173,7 @@ def _cascade_xla(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block, halo,
 
 def _make_cascade_fused(has_add: bool):
     def _dispatch(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
-                  r, interpret, precision):
+                  r, interpret, precision, conservative=False):
         from m2trans_tpu.ops.pallas.halo_attn_packed import (
             packed_cascade_impl,
             packed_front_cascade_impl,
@@ -1188,9 +1188,17 @@ def _make_cascade_fused(has_add: bool):
                 x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
                 halo=halo, levels=levels, g=g, r=r, interpret=interpret,
                 precision=precision)
+        # The packed-front kernel sits within ~1 MB of the 16 MB scoped-
+        # VMEM ceiling and the effective limit varies with the SURROUNDING
+        # program (observed: the same kernel compiles in the plain forward
+        # but OOMs at 16.96M inside two different grad programs). Under AD
+        # (the custom_vjp fwd rule sets conservative=True) take the banded
+        # kernel instead — ~0.05 ms/call slower, irrelevant next to the
+        # backward, and never marginal.
         pf = (pick_packed_front(x.shape[0], x.shape[2], x.shape[-1],
                                 levels, block, halo)
-              if x.shape[1] % (block * 2 ** levels) == 0 else None)
+              if (not conservative
+                  and x.shape[1] % (block * 2 ** levels) == 0) else None)
         if pf is not None:
             return packed_front_cascade_impl(
                 x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
@@ -1244,8 +1252,9 @@ def _make_cascade_fused(has_add: bool):
     if has_add:
         def fwd(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
                 r, interpret, precision):
-            out = prim(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo,
-                       levels, r, interpret, precision)
+            out = _dispatch(x, x_add, s, t, w_qkv, rel_h, rel_w, block,
+                            halo, levels, r, interpret, precision,
+                            conservative=True)
             return out, (x, x_add, s, t, w_qkv, rel_h, rel_w)
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
@@ -1264,8 +1273,9 @@ def _make_cascade_fused(has_add: bool):
     else:
         def fwd(x, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
                 r, interpret, precision):
-            out = prim(x, s, t, w_qkv, rel_h, rel_w, block, halo,
-                       levels, r, interpret, precision)
+            out = _dispatch(x, None, s, t, w_qkv, rel_h, rel_w, block,
+                            halo, levels, r, interpret, precision,
+                            conservative=True)
             return out, (x, s, t, w_qkv, rel_h, rel_w)
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):

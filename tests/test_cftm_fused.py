@@ -171,3 +171,74 @@ def test_cftm_packed_body_matches_plain(rng):
                                 policy=packed)).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
     assert float(np.abs(got - want).mean()) < 5e-3
+
+
+def test_ad_fwd_rule_avoids_packed_front(monkeypatch):
+    """The packed-front L=2 kernel runs within ~1 MB of the 16 MB scoped-
+    VMEM ceiling, and the effective limit varies with the surrounding
+    program (observed OOM at 16.96M inside grad programs on v5e). The
+    custom_vjp fwd rule must therefore dispatch conservatively: plain
+    evaluation at a packed-front-eligible shape uses the kernel, the same
+    call under jax.grad must not."""
+    import m2trans_tpu.ops.pallas.halo_attn_packed as pk
+
+    calls = []
+    orig = pk.packed_front_cascade_impl
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pk, "packed_front_cascade_impl", spy)
+
+    # flagship-eligible shape: B=8, W=96, cb=16, L=2 (pick_packed_front
+    # -> (8, 2) under the v5e calibration used on CPU)
+    assert pk.pick_packed_front(8, 96, 16, 2) is not None
+    rng = np.random.default_rng(0)
+    cb, levels = 16, 2
+    c = cb * 4 ** levels
+    x = jnp.asarray(rng.normal(0, 1, (8, 96, 96, cb))).astype(jnp.bfloat16)
+    w_qkv = jnp.asarray(rng.normal(0, c ** -0.5, (c, 3 * c))
+                        ).astype(jnp.bfloat16)
+    rel = jnp.asarray(rng.normal(0, 1, (10, c // 2)).astype(np.float32))
+    s = jnp.ones((8, cb), jnp.float32)
+    t = jnp.zeros((8, cb), jnp.float32)
+
+    def f(xx):
+        out = cftm_branch_fused(xx, w_qkv, rel, rel, s, t, levels=levels,
+                                interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    jax.grad(f)(x)
+    assert not calls, "packed-front kernel dispatched inside the AD fwd"
+
+    cftm_branch_fused(x, w_qkv, rel, rel, s, t, levels=levels,
+                      interpret=True)
+    assert calls, "packed-front kernel missing from plain evaluation"
+
+
+def test_cftm_packed_body_tiled_l2_fallback(rng):
+    """Packed-body flow at a width where packed-front is VMEM-ineligible
+    (W=128: est 21.6M > the 19M v5e budget): branches 3/4 must route
+    through the unpack -> banded/tiled fused dispatch -> repack fallback
+    and still match the plain composition (the ×3 body width)."""
+    from m2trans_tpu.models.m2trans import _packed_body_ok
+    from m2trans_tpu.ops.pallas.halo_attn_packed import pick_packed_front
+
+    assert pick_packed_front(8, 128, 16, 2) is None
+    assert _packed_body_ok(8, 32, 128, 16, 8, 1)
+
+    cfg = Config(scale=4, n_feats=64, n_blocks=1)
+    blk = init_m2trans(jax.random.PRNGKey(1), cfg)["body"][0]
+    x = jnp.asarray(rng.uniform(0, 1, (8, 32, 128, 64)).astype(np.float32))
+
+    plain = ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                          use_pallas=False)
+    packed = ComputePolicy(dtype=jnp.bfloat16, precision=None,
+                           use_pallas=True, packed_body=True)
+    want = np.asarray(cftm_apply(blk, x.astype(jnp.bfloat16),
+                                 policy=plain)).astype(np.float32)
+    got = np.asarray(cftm_apply(blk, x.astype(jnp.bfloat16),
+                                policy=packed)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+    assert float(np.abs(got - want).mean()) < 5e-3
