@@ -59,6 +59,22 @@ _V5E = {
     # ~2.2; L=1 W=256 B=1 0.218 vs ~1.2, W=512 B=1 0.793 vs ~7.5;
     # L=0 W=512 B=1 2.243 vs ~4.3.
     "tiled_levels": (0, 1, 2),
+    # BACKWARD banded gate: max banded-FWD estimate for which the full-
+    # width banded backward kernel is admitted. Calibration anchor: the
+    # L=2 W=96 banded backward (fwd-est 11.95M) uses 17.24M scoped VMEM —
+    # within ~1 MB of the 16M ceiling, compiling or OOMing depending on
+    # the surrounding program — so the limit sits below it and that shape
+    # takes the column-slab tiled backward instead. L=0/L=1 at the
+    # flagship widths (est 6.1/6.7M) have never been marginal.
+    "bwd_banded_limit_default": 9 * _MIB,
+    # Column-slab tiled BACKWARD budgets per DWT level, checked against
+    # the tiled-bwd estimate (banded estimate + two extra x views +
+    # extended dze out block). The estimate's real/est ratio is
+    # level-dependent (v5e observed): L=2 ~1.0 (slab=96 predicts 17.49M
+    # vs 17.24M real), L=1 ~1.45 (slab=144 est ~14M, real 20.23M OOM at
+    # the x2 width). Budgets keep real usage ~2 MB under the 16M
+    # scoped-VMEM ceiling in any surrounding program.
+    "bwd_tiled_budget": {0: 9.5e6, 1: 9.5e6, 2: 14e6},
 }
 
 # device_kind prefix (lowercased) -> calibration

@@ -913,42 +913,24 @@ def _unpatch(pat, *, block, halo, wp):
     return (aligned + ov)[:, :, :wp, :]
 
 
-def _cascade_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
-                        precision, h: int, w: int, r: float,
-                        has_add: bool):
-    if has_add:
-        (xa, xb, aa, ab, ga, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
-         relh_ref, relw_ref, dze_ref, dw_ref, drh_ref, drw_ref,
-         *scratch) = refs
-    else:
-        (xa, xb, ga, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
-         relh_ref, relw_ref, dze_ref, dw_ref, drh_ref, drw_ref,
-         *scratch) = refs
-        aa = ab = None
+def _bwd_body(x, x_add, g_band, sv, tv, wq_ref, wk_ref, wv_ref, relh_ref,
+              relw_ref, z_bufs, g_bufs, iwt_bufs, *, block, halo, wc,
+              levels, precision, h, w, r, i, col_off=0):
+    """Shared cascade-branch backward math on one group of assembled
+    band/tile values: forward recompute (affine, DWT, qkv, windows,
+    attention probs) then the reverse chain. ``x``: (G, win*2^L, Wp_full,
+    Cb) band values; ``g_band``: (G, blk*2^L, W_cols, Cb) output
+    cotangent. Returns (dz extended band f32, dw, drel_h, drel_w)."""
     sf = 2 ** levels
-    b_id = pl.program_id(0)
-    i = pl.program_id(1)
     win = block + 2 * halo
     wp = wc + 2 * halo
     nw = wc // block
     hs = halo * sf
-    blk_full = block * sf
-
-    n_dwt = levels + 1 if levels else 1
-    z_bufs = scratch[:n_dwt] if levels else []
-    g_bufs = scratch[n_dwt:2 * n_dwt] if levels else []
-    iwt_bufs = scratch[2 * n_dwt:] if levels else []
+    g = x.shape[0]
 
     # ---- forward recompute ----
-    x = jnp.concatenate([xa[:], xb[:, : 2 * hs]], axis=1)
-    g = x.shape[0]
-    x_add = None
-    if has_add:
-        x_add = jnp.concatenate([aa[:], ab[:, : 2 * hs]], axis=1)
-    sv = s_ref[pl.ds(b_id * g, g), :]
-    tv = t_ref[pl.ds(b_id * g, g), :]
     z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
-                     halo=halo, levels=levels, r=r)
+                     halo=halo, levels=levels, r=r, col_off=col_off)
     zc = _dwt_value(z, z_bufs).astype(z.dtype) if levels else z
     c = zc.shape[-1]
     c2 = c // 2
@@ -978,7 +960,7 @@ def _cascade_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
 
     # ---- backward ----
-    g_band = ga[:].astype(jnp.float32)  # (g, blk_full, w, cb)
+    g_band = g_band.astype(jnp.float32)  # (g, blk_full, w_cols, cb)
     gc = _dwt_value(g_band, g_bufs) if levels else g_band
     gc = gc.astype(jnp.float32)  # (g, block, wc, c)
     g_b = gc.reshape(g, block, nw, block, c).transpose(0, 2, 1, 3, 4)
@@ -1025,10 +1007,11 @@ def _cascade_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
     # add the residual cotangent (out = attn_out + z) at interior positions
     g_pad = jnp.pad(g_band, ((0, 0), (hs, hs), (hs, hs), (0, 0)))
     dz = dz.astype(jnp.float32) + g_pad
+    return dz, dw_c, drh_c, drw_c
 
-    dze_ref[:, 0] = dz.astype(dze_ref.dtype)
-    first = (b_id == 0) & (i == 0)
 
+def _accumulate_weight_grads(first, dw_ref, drh_ref, drw_ref, dw_c, drh_c,
+                             drw_c):
     @pl.when(first)
     def _():
         dw_ref[:] = dw_c.astype(dw_ref.dtype)
@@ -1040,6 +1023,45 @@ def _cascade_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
         dw_ref[:] = dw_ref[:] + dw_c.astype(dw_ref.dtype)
         drh_ref[:] = drh_ref[:] + drh_c.astype(drh_ref.dtype)
         drw_ref[:] = drw_ref[:] + drw_c.astype(drw_ref.dtype)
+
+
+def _cascade_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
+                        precision, h: int, w: int, r: float,
+                        has_add: bool):
+    if has_add:
+        (xa, xb, aa, ab, ga, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
+         relh_ref, relw_ref, dze_ref, dw_ref, drh_ref, drw_ref,
+         *scratch) = refs
+    else:
+        (xa, xb, ga, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
+         relh_ref, relw_ref, dze_ref, dw_ref, drh_ref, drw_ref,
+         *scratch) = refs
+        aa = ab = None
+    sf = 2 ** levels
+    b_id = pl.program_id(0)
+    i = pl.program_id(1)
+    hs = halo * sf
+
+    n_dwt = levels + 1 if levels else 1
+    z_bufs = scratch[:n_dwt] if levels else []
+    g_bufs = scratch[n_dwt:2 * n_dwt] if levels else []
+    iwt_bufs = scratch[2 * n_dwt:] if levels else []
+
+    x = jnp.concatenate([xa[:], xb[:, : 2 * hs]], axis=1)
+    g = x.shape[0]
+    x_add = None
+    if has_add:
+        x_add = jnp.concatenate([aa[:], ab[:, : 2 * hs]], axis=1)
+    sv = s_ref[pl.ds(b_id * g, g), :]
+    tv = t_ref[pl.ds(b_id * g, g), :]
+    dz, dw_c, drh_c, drw_c = _bwd_body(
+        x, x_add, ga[:], sv, tv, wq_ref, wk_ref, wv_ref, relh_ref,
+        relw_ref, z_bufs, g_bufs, iwt_bufs, block=block, halo=halo,
+        wc=wc, levels=levels, precision=precision, h=h, w=w, r=r, i=i)
+
+    dze_ref[:, 0] = dz.astype(dze_ref.dtype)
+    _accumulate_weight_grads((b_id == 0) & (i == 0), dw_ref, drh_ref,
+                             drw_ref, dw_c, drh_c, drw_c)
 
 
 def _cascade_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *, block,
@@ -1158,6 +1180,219 @@ def _cascade_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *, block,
     return dx, ds, dt, dw_qkv, drel_h, drel_w
 
 
+def _cascade_bwd_tile_kernel(*refs, block: int, halo: int, wc: int,
+                             levels: int, precision, h: int, w: int,
+                             slab: int, r: float, has_add: bool):
+    """Column-slab tiled cascade backward: grid (B, nh, n_slabs). The
+    input tile is assembled from FOUR blocked views (like
+    _cascade_tile_kernel); dz leaves as tiles extended by halo*2^L on all
+    four sides, folded by a 2-D overlap-add in XLA. Per-program VMEM is
+    W-independent, which (a) runs the Pallas backward at the x2/x3 body
+    widths where the banded backward exceeds VMEM (W=192/128 at L=2) and
+    (b) replaces the scoped-VMEM-marginal full-width L=2 banded backward
+    (17.24M vs the 16M ceiling, program-dependent OOM) at the flagship
+    shape."""
+    if has_add:
+        (xaa, xab, xba, xbb, aaa, aab, aba, abb, ga, s_ref, t_ref,
+         wq_ref, wk_ref, wv_ref, relh_ref, relw_ref,
+         dze_ref, dw_ref, drh_ref, drw_ref, *scratch) = refs
+    else:
+        (xaa, xab, xba, xbb, ga, s_ref, t_ref, wq_ref, wk_ref, wv_ref,
+         relh_ref, relw_ref, dze_ref, dw_ref, drh_ref, drw_ref,
+         *scratch) = refs
+        aaa = aab = aba = abb = None
+    sf = 2 ** levels
+    hh = 2 * halo * sf
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    n_dwt = levels + 1 if levels else 1
+    z_bufs = scratch[:n_dwt] if levels else []
+    g_bufs = scratch[n_dwt:2 * n_dwt] if levels else []
+    iwt_bufs = scratch[2 * n_dwt:] if levels else []
+
+    def tile(va, vb, vc, vd):
+        top = jnp.concatenate([va[0], vb[0][:, :hh]], axis=1)
+        bot = jnp.concatenate([vc[0][:hh], vd[0][:hh, :hh]], axis=1)
+        return jnp.concatenate([top, bot], axis=0)[None]
+
+    x = tile(xaa, xab, xba, xbb)
+    x_add = tile(aaa, aab, aba, abb) if has_add else None
+    sv = s_ref[pl.ds(b, 1), :]
+    tv = t_ref[pl.ds(b, 1), :]
+    dz, dw_c, drh_c, drw_c = _bwd_body(
+        x, x_add, ga[:], sv, tv, wq_ref, wk_ref, wv_ref, relh_ref,
+        relw_ref, z_bufs, g_bufs, iwt_bufs, block=block, halo=halo,
+        wc=wc, levels=levels, precision=precision, h=h, w=w, r=r, i=i,
+        col_off=j * slab)
+
+    dze_ref[:, 0, :, 0] = dz.astype(dze_ref.dtype)
+    _accumulate_weight_grads((b == 0) & (i == 0) & (j == 0), dw_ref,
+                             drh_ref, drw_ref, dw_c, drh_c, drw_c)
+
+
+def _bwd_tiled_slab(w, cb, c, block, halo, levels):
+    """Largest slab (multiple of block*2^L) whose tiled-backward tile fits
+    the calibrated budget (device.py "bwd_tiled_budget"). Counts the two
+    extra x views and the extended dze out block on top of the banded
+    estimate — honest for this kernel: slab=96 predicts 17.49M vs 17.24M
+    observed for the equivalent full-width banded backward."""
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    sf = 2 ** levels
+    blk_full = block * sf
+    hs = halo * sf
+    budget = gate_profile().get("bwd_tiled_budget", {}).get(levels)
+    if not budget:
+        return None
+
+    def est(sl):
+        extra_x = 2 * 2 * 2 * blk_full * (sl + 2 * hs) * _lanes(cb)
+        out_ext = 2 * 2 * (blk_full + 2 * hs) * (sl + 2 * hs) * _lanes(cb)
+        return (_banded_vmem_bytes(sl, cb, c, block, halo, levels)
+                + extra_x + out_ext)
+
+    slab = (w // blk_full) * blk_full
+    while slab > blk_full and est(slab) > budget:
+        slab -= blk_full
+    if est(slab) > budget:
+        return None
+    return slab
+
+
+def _cascade_bwd_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *,
+                            block, halo, levels, r, interpret,
+                            precision=None, slab=None):
+    """Width-tolerant Pallas backward via column slabs (see
+    _cascade_bwd_tile_kernel). Returns the same grads as
+    _cascade_bwd_impl. ``slab`` overrides the budget-derived slab width
+    (tests force multi-slab folds on small shapes)."""
+    bsz, h, w, cb = x.shape
+    sf = 2 ** levels
+    c = cb * (4 ** levels)
+    win = block + 2 * halo
+    blk_full = block * sf
+    hs = halo * sf
+    ext = blk_full + 2 * hs
+    has_add = x_add is not None
+
+    if slab is None:
+        slab = _bwd_tiled_slab(w, cb, c, block, halo, levels)
+    assert slab is not None, "gate must reject shapes without a slab"
+    wcs = slab // sf
+    wps = slab + 2 * hs
+    nwb = -(-w // slab)
+    nh = h // blk_full
+
+    pad_bottom = (nh + 1) * blk_full - h - hs
+    pad_right = (nwb + 1) * slab - w - hs
+    pads = ((0, 0), (hs, pad_bottom), (hs, pad_right), (0, 0))
+    xp = jnp.pad(x, pads)
+    gp = jnp.pad(gout, ((0, 0), (0, 0), (0, nwb * slab - w), (0, 0)))
+
+    kernel = functools.partial(_cascade_bwd_tile_kernel, block=block,
+                               halo=halo, wc=wcs, levels=levels,
+                               precision=precision, h=h, w=w, slab=slab,
+                               r=float(r), has_add=has_add)
+    view = lambda oi, oj: pl.BlockSpec(  # noqa: E731
+        (1, blk_full, slab, cb),
+        lambda b, i, j, a=oi, d=oj: (b, i + a, j + d, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i, j: tuple(0 for _ in shp),
+        memory_space=pltpu.VMEM)
+    acc = const
+    per_img = pl.BlockSpec((bsz, cb), lambda b, i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xp, xp, xp, xp]
+    in_specs = [view(0, 0), view(0, 1), view(1, 0), view(1, 1)]
+    if has_add:
+        ap = jnp.pad(x_add, pads)
+        operands += [ap, ap, ap, ap]
+        in_specs += [view(0, 0), view(0, 1), view(1, 0), view(1, 1)]
+    operands += [gp]
+    in_specs += [pl.BlockSpec((1, blk_full, slab, cb),
+                              lambda b, i, j: (b, i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    wq, wk, wv = (w_qkv[:, :c], w_qkv[:, c:2 * c], w_qkv[:, 2 * c:])
+    operands += [s.astype(jnp.float32), t.astype(jnp.float32),
+                 wq, wk, wv, rel_h, rel_w]
+    in_specs += [per_img, per_img, const((c, c)), const((c, c)),
+                 const((c, c)), const((win, c // 2)), const((win, c // 2))]
+
+    scratch = []
+    if levels:
+        rows0 = win * sf
+        for l in range(levels + 1):  # z DWT pyramid (tile geometry)
+            scratch.append(pltpu.VMEM(
+                (1, rows0 >> l, wps >> l, cb * 4 ** l), jnp.float32))
+        for l in range(levels + 1):  # g DWT pyramid (block geometry)
+            scratch.append(pltpu.VMEM(
+                (1, blk_full >> l, slab >> l, cb * 4 ** l), jnp.float32))
+        wpc = wcs + 2 * halo
+        for l in range(levels):  # dz IWT pyramid (tile geometry)
+            scratch.append(pltpu.VMEM(
+                (1, (win * 2) << l, (wpc * 2) << l, c // 4 ** (l + 1)),
+                jnp.float32))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bsz, nh, ext, nwb, wps, cb), x.dtype),
+        jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+        jax.ShapeDtypeStruct((win, c // 2), jnp.float32),
+        jax.ShapeDtypeStruct((win, c // 2), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, ext, 1, wps, cb),
+                     lambda b, i, j: (b, i, 0, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        acc((c, 3 * c)), acc((win, c // 2)), acc((win, c // 2)),
+    ]
+    dze, dw, drh, drw = pl.pallas_call(
+        kernel,
+        grid=(bsz, nh, nwb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+    # 2-D overlap-add: columns first (within each extended row band),
+    # then rows — each a pair of shifted adds like the banded fold
+    dze = dze.astype(jnp.float32)  # (bsz, nh, ext, nwb, wps, cb)
+    mainc = dze[..., :slab, :].reshape(bsz, nh, ext, nwb * slab, cb)
+    tailc = jnp.pad(dze[..., slab:, :],
+                    ((0, 0), (0, 0), (0, 0), (0, 0),
+                     (0, slab - 2 * hs), (0, 0)))
+    tailc = tailc.reshape(bsz, nh, ext, nwb * slab, cb)
+    acc_c = jnp.pad(mainc, ((0, 0), (0, 0), (0, 0), (0, slab), (0, 0))) \
+        + jnp.pad(tailc, ((0, 0), (0, 0), (0, 0), (slab, 0), (0, 0)))
+
+    cw = acc_c.shape[3]
+    mainr = acc_c[:, :, :blk_full].reshape(bsz, nh * blk_full, cw, cb)
+    tailr = jnp.pad(acc_c[:, :, blk_full:],
+                    ((0, 0), (0, 0), (0, blk_full - 2 * hs), (0, 0),
+                     (0, 0)))
+    tailr = tailr.reshape(bsz, nh * blk_full, cw, cb)
+    acc_rows = jnp.pad(mainr, ((0, 0), (0, blk_full), (0, 0), (0, 0))) \
+        + jnp.pad(tailr, ((0, 0), (blk_full, 0), (0, 0), (0, 0)))
+    dz = acc_rows[:, hs:hs + h, hs:hs + w, :]  # (bsz, h, w, cb) f32
+
+    xf = x.astype(jnp.float32)
+    dx = (dz * s.astype(jnp.float32)[:, None, None, :]).astype(x.dtype)
+    ds = jnp.sum(dz * xf, axis=(1, 2)).astype(s.dtype)
+    dt = jnp.sum(dz, axis=(1, 2)).astype(t.dtype)
+    dw_qkv = dw.astype(w_qkv.dtype)
+    drel_h = drh.astype(rel_h.dtype)
+    drel_w = drw.astype(rel_w.dtype)
+    if has_add:
+        dx_add = (r * dz).astype(x_add.dtype)
+        return dx, dx_add, ds, dt, dw_qkv, drel_h, drel_w
+    return dx, ds, dt, dw_qkv, drel_h, drel_w
+
+
 def _cascade_xla(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block, halo,
                  levels, r, precision=None):
     """XLA equivalent of the fused cascade branch (used for the backward
@@ -1243,11 +1478,31 @@ def _make_cascade_fused(has_add: bool):
     wrapped = jax.custom_vjp(
         prim, nondiff_argnums=tuple(range(first_static, first_static + 6)))
 
-    def _use_pallas_bwd(x, block, halo, levels):
-        c = x.shape[-1] * 4 ** levels
-        return _PALLAS_BWD and _banded_vmem_bytes(
-            x.shape[2], x.shape[-1], c, block, halo,
-            levels) <= _banded_limit(levels)
+    def _bwd_mode(x, block, halo, levels):
+        """'banded' | 'tiled' | 'xla' for the backward at this shape.
+        Banded only where its fwd-estimate clears BOTH the fwd limit and
+        the (tighter) calibrated backward limit — the L=2 flagship banded
+        backward is scoped-VMEM-marginal (17.24M vs the 16M ceiling) and
+        routes to the width-tolerant tiled backward, as do the x2/x3
+        body widths the banded gate rejects outright."""
+        if not _PALLAS_BWD:
+            return "xla"
+        cb = x.shape[-1]
+        c = cb * 4 ** levels
+        blk_full = block * 2 ** levels
+        if x.shape[1] % blk_full:
+            return "xla"
+        from m2trans_tpu.ops.pallas.device import gate_profile
+
+        est = _banded_vmem_bytes(x.shape[2], cb, c, block, halo, levels)
+        bwd_limit = gate_profile().get("bwd_banded_limit_default",
+                                       9 * 1024 * 1024)
+        if est <= min(_banded_limit(levels), bwd_limit):
+            return "banded"
+        if _bwd_tiled_slab(x.shape[2], cb, c, block, halo,
+                           levels) is not None:
+            return "tiled"
+        return "xla"
 
     if has_add:
         def fwd(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
@@ -1259,8 +1514,14 @@ def _make_cascade_fused(has_add: bool):
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
             x, x_add, s, t, w_qkv, rel_h, rel_w = res
-            if _use_pallas_bwd(x, block, halo, levels):
+            mode = _bwd_mode(x, block, halo, levels)
+            if mode == "banded":
                 return _cascade_bwd_impl(
+                    x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, r=r, interpret=interpret,
+                    precision=precision)
+            if mode == "tiled":
+                return _cascade_bwd_tiled_impl(
                     x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
                     halo=halo, levels=levels, r=r, interpret=interpret,
                     precision=precision)
@@ -1280,8 +1541,14 @@ def _make_cascade_fused(has_add: bool):
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
             x, s, t, w_qkv, rel_h, rel_w = res
-            if _use_pallas_bwd(x, block, halo, levels):
+            mode = _bwd_mode(x, block, halo, levels)
+            if mode == "banded":
                 return _cascade_bwd_impl(
+                    x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, r=r, interpret=interpret,
+                    precision=precision)
+            if mode == "tiled":
+                return _cascade_bwd_tiled_impl(
                     x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
                     halo=halo, levels=levels, r=r, interpret=interpret,
                     precision=precision)

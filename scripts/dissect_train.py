@@ -54,17 +54,23 @@ def chain(fn, n, *args):
 
 def main():
     np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))  # warm tunnel
-    cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3,
+    scale = 4
+    for a in sys.argv[1:]:
+        if a.startswith("--scale="):
+            scale = int(a.split("=")[1])
+    lr_size = (LR_SIZE * 4) // scale  # same 384^2 HR patch at every scale
+    cfg = Config(scale=scale, n_feats=64, n_blocks=8, colors=3,
                  dtype="bfloat16", use_pallas=True, batch_size=B,
-                 patch_size=LR_SIZE * 4, cutmix=False, lambda_l1=1.0,
+                 patch_size=lr_size * scale, cutmix=False, lambda_l1=1.0,
                  lambda_clip=0.0)
     policy = policy_from_config(cfg, for_training=True)
     key = jax.random.PRNGKey(0)
     params = init_m2trans(key, cfg)
     tx = make_optimizer(cfg, steps_per_epoch=100)
     opt_state = tx.init(params)
-    lr_img = jax.random.uniform(key, (B, LR_SIZE, LR_SIZE, 3))
-    hr_img = jax.random.uniform(key, (B, LR_SIZE * 4, LR_SIZE * 4, 3))
+    lr_img = jax.random.uniform(key, (B, lr_size, lr_size, 3))
+    hr_img = jax.random.uniform(key, (B, lr_size * scale, lr_size * scale,
+                                      3))
 
     def loss_fn(p, x, y):
         sr = m2trans_apply(p, x, cfg, policy=policy)

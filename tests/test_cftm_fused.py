@@ -242,3 +242,68 @@ def test_cftm_packed_body_tiled_l2_fallback(rng):
                                 policy=packed)).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
     assert float(np.abs(got - want).mean()) < 5e-3
+
+
+@pytest.mark.parametrize("with_add,slab,hw", [(False, 32, 96),
+                                              (True, 32, 96),
+                                              (True, 64, 96)])
+def test_cascade_bwd_tiled_matches_xla_vjp(with_add, slab, hw):
+    """Column-slab tiled backward (L=2): grads must match the XLA vjp,
+    including the 2-D overlap-add of the extended dz tiles (slab=32 ->
+    3 slabs; slab=64 -> ragged second slab covering 32 real columns)."""
+    import m2trans_tpu.ops.pallas.halo_attn as ha
+
+    levels = 2
+    x, w_qkv, rel, s, t, add = _mk(levels, bsz=2, hw=hw, seed=2)
+    xb = x.astype(jnp.bfloat16)
+    ab = add.astype(jnp.bfloat16) if with_add else None
+    wb = w_qkv.astype(jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(0, 1, x.shape)).astype(jnp.bfloat16)
+
+    got = ha._cascade_bwd_tiled_impl(
+        xb, ab, s, t, wb, rel, rel, g, block=8, halo=1, levels=levels,
+        r=0.5, interpret=True, slab=slab)
+    # oracle: the (gradient-parity-tested) banded backward — identical
+    # math, so the tiled fold must match it to f32-reassociation noise;
+    # the shared deviation vs the XLA vjp is bf16 numerics at this size
+    want = ha._cascade_bwd_impl(
+        xb, ab, s, t, wb, rel, rel, g, block=8, halo=1, levels=levels,
+        r=0.5, interpret=True)
+
+    names = (("dx", "dx_add", "ds", "dt", "dw_qkv", "drel_h", "drel_w")
+             if with_add else
+             ("dx", "ds", "dt", "dw_qkv", "drel_h", "drel_w"))
+    for name, a, b in zip(names, got, want):
+        # dz tiles leave the kernels in bf16, so boundary elements differ
+        # by up to ~2 bf16 ulps between the banded and tiled folds
+        bb = np.asarray(b, np.float32)
+        tol = max(2e-3, 8e-3 * float(np.abs(bb).max()))
+        np.testing.assert_allclose(np.asarray(a, np.float32), bb,
+                                   atol=tol, err_msg=name)
+
+
+def test_bwd_mode_gates():
+    """Backward dispatch: the flagship L=2 full-width banded backward is
+    scoped-VMEM-marginal and must route to the tiled backward; narrow
+    L=0/L=1 stay banded; a Pallas-backward slab must exist at the x2/x3
+    body widths (W=192/128, L=2)."""
+    from m2trans_tpu.ops.pallas.halo_attn import (
+        _banded_limit,
+        _banded_vmem_bytes,
+        _bwd_tiled_slab,
+    )
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    bwd_limit = gate_profile()["bwd_banded_limit_default"]
+    # flagship L=2 (cb=16, W=96): banded fwd-est passes the fwd limit but
+    # not the backward limit -> tiled; and a slab exists
+    est = _banded_vmem_bytes(96, 16, 256, 8, 1, 2)
+    assert est <= _banded_limit(2) and est > bwd_limit
+    assert _bwd_tiled_slab(96, 16, 256, 8, 1, 2) is not None
+    # L=0/L=1 flagship stay banded
+    assert _banded_vmem_bytes(96, 16, 16, 8, 1, 0) <= bwd_limit
+    assert _banded_vmem_bytes(96, 16, 64, 8, 1, 1) <= bwd_limit
+    # x2/x3 L=2 widths get a Pallas backward via the tiled slab
+    assert _bwd_tiled_slab(128, 16, 256, 8, 1, 2) is not None
+    assert _bwd_tiled_slab(192, 16, 256, 8, 1, 2) is not None
