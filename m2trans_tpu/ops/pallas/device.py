@@ -75,6 +75,13 @@ _V5E = {
     # the x2 width). Budgets keep real usage ~2 MB under the 16M
     # scoped-VMEM ceiling in any surrounding program.
     "bwd_tiled_budget": {0: 9.5e6, 1: 9.5e6, 2: 14e6},
+    # Packed BACKWARD budgets (halo_attn_packed.packed_cascade_bwd_impl),
+    # against packed_bwd_vmem_bytes (~2x conservative like the forward
+    # estimator). v5e-verified: L=0 W=96 g=8 (est 35.5M) compiles, beats
+    # banded 7.87 -> 6.48 ms isolated; L=1 W=96 g=4 (est 25.1M) 6.70 ->
+    # 6.37. W=192 L=0 g=8 (est 70.6M) and L=1 g<=4 (est >=29M) OOM ->
+    # budgets sit just above the verified shapes.
+    "bwd_packed_budget": {0: 36e6, 1: 26e6},
 }
 
 # device_kind prefix (lowercased) -> calibration

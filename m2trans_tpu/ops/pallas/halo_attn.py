@@ -1479,30 +1479,40 @@ def _make_cascade_fused(has_add: bool):
         prim, nondiff_argnums=tuple(range(first_static, first_static + 6)))
 
     def _bwd_mode(x, block, halo, levels):
-        """'banded' | 'tiled' | 'xla' for the backward at this shape.
-        Banded only where its fwd-estimate clears BOTH the fwd limit and
-        the (tighter) calibrated backward limit — the L=2 flagship banded
-        backward is scoped-VMEM-marginal (17.24M vs the 16M ceiling) and
-        routes to the width-tolerant tiled backward, as do the x2/x3
-        body widths the banded gate rejects outright."""
+        """('packed', g) | ('banded', None) | ('tiled', None) |
+        ('xla', None) for the backward at this shape. Packed first (full
+        lane occupancy — the banded backward pays the forward's old
+        op-issue wall at 16 lanes); banded only where its fwd-estimate
+        clears BOTH the fwd limit and the (tighter) calibrated backward
+        limit — the L=2 flagship banded backward is scoped-VMEM-marginal
+        (17.24M vs the 16M ceiling) and routes to the width-tolerant
+        tiled backward, as do the x2/x3 body widths the banded gate
+        rejects outright."""
         if not _PALLAS_BWD:
-            return "xla"
+            return "xla", None
         cb = x.shape[-1]
         c = cb * 4 ** levels
         blk_full = block * 2 ** levels
         if x.shape[1] % blk_full:
-            return "xla"
+            return "xla", None
         from m2trans_tpu.ops.pallas.device import gate_profile
+        from m2trans_tpu.ops.pallas.halo_attn_packed import (
+            pick_packed_bwd_g,
+        )
 
+        g = pick_packed_bwd_g(x.shape[0], x.shape[2], cb, levels, block,
+                              halo)
+        if g:
+            return "packed", g
         est = _banded_vmem_bytes(x.shape[2], cb, c, block, halo, levels)
         bwd_limit = gate_profile().get("bwd_banded_limit_default",
                                        9 * 1024 * 1024)
         if est <= min(_banded_limit(levels), bwd_limit):
-            return "banded"
+            return "banded", None
         if _bwd_tiled_slab(x.shape[2], cb, c, block, halo,
                            levels) is not None:
-            return "tiled"
-        return "xla"
+            return "tiled", None
+        return "xla", None
 
     if has_add:
         def fwd(x, x_add, s, t, w_qkv, rel_h, rel_w, block, halo, levels,
@@ -1514,7 +1524,16 @@ def _make_cascade_fused(has_add: bool):
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
             x, x_add, s, t, w_qkv, rel_h, rel_w = res
-            mode = _bwd_mode(x, block, halo, levels)
+            mode, pg = _bwd_mode(x, block, halo, levels)
+            if mode == "packed":
+                from m2trans_tpu.ops.pallas.halo_attn_packed import (
+                    packed_cascade_bwd_impl,
+                )
+
+                return packed_cascade_bwd_impl(
+                    x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, g=pg, r=r,
+                    interpret=interpret, precision=precision)
             if mode == "banded":
                 return _cascade_bwd_impl(
                     x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
@@ -1541,7 +1560,16 @@ def _make_cascade_fused(has_add: bool):
 
         def bwd(block, halo, levels, r, interpret, precision, res, g):
             x, s, t, w_qkv, rel_h, rel_w = res
-            mode = _bwd_mode(x, block, halo, levels)
+            mode, pg = _bwd_mode(x, block, halo, levels)
+            if mode == "packed":
+                from m2trans_tpu.ops.pallas.halo_attn_packed import (
+                    packed_cascade_bwd_impl,
+                )
+
+                return packed_cascade_bwd_impl(
+                    x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, g=pg, r=r,
+                    interpret=interpret, precision=precision)
             if mode == "banded":
                 return _cascade_bwd_impl(
                     x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,

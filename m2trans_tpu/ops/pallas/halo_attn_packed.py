@@ -899,3 +899,387 @@ def packed_cascade_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb,
         interpret=interpret,
     )(*operands)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Packed BACKWARD (round 3, late): the cascade backward kernels were the
+# r2 banded design at 16-lane occupancy for the L=0/L=1 branches — the
+# same op-issue wall lane packing removed from the forward (body bwd
+# ~48 ms of the 66 ms flagship train step). This kernel runs the reverse
+# chain fully packed: recompute (affine/DWT/packed qkv/stacked-query
+# attention), then packed adjoints — the slot-diagonal extraction's
+# adjoint broadcasts the cotangent onto the stacked rows with the SAME
+# block-diagonal mask, the masked-query adjoint folds the stacked rows
+# back with a masked sum. Weight/rel-pos grads accumulate in PACKED
+# layout; unpacking them (adjoints of pack_branch_weights) is a few
+# tiny XLA einsums per branch call.
+# ---------------------------------------------------------------------------
+
+
+def unpack_weight_grads(dwp, drhp, drwp, *, cb, g, levels):
+    """Adjoints of pack_branch_weights: packed grads -> (dw_qkv (C, 3C),
+    drel_h (win, C/2), drel_w (win, C/2))."""
+    c = cb * 4 ** levels
+    ns = 4 ** levels
+    gc = g * c
+    eye = jnp.eye(g, dtype=dwp.dtype)
+    parts = []
+    for j in range(3):
+        wj = dwp[:, j * gc:(j + 1) * gc].reshape(ns, g, cb, ns, g, cb)
+        parts.append(jnp.einsum("aibcjd,ij->abcd", wj, eye).reshape(c, c))
+    dw = jnp.concatenate(parts, axis=1)
+
+    win = drhp.shape[0]
+    c2 = c // 2
+
+    def untile_k(dr, half):
+        dk = dr[:, :gc]  # the k block (the v block's bias is zero)
+        if ns == 1:
+            full = dk.reshape(win, g, c).sum(axis=1)
+            return full[:, :c2] if half == 0 else full[:, c2:]
+        halfd = (dk[:, :gc // 2] if half == 0 else dk[:, gc // 2:])
+        return halfd.reshape(win, ns // 2, g, cb).sum(axis=2) \
+                    .reshape(win, c2)
+
+    return dw, untile_k(drhp, 0), untile_k(drwp, 1)
+
+
+def _dwt3(v, bufs):
+    """DWT^L of a 3-D (rows, W, GCb) value via f32 scratch refs."""
+    if not bufs:
+        return v
+    bufs[0][:] = v.astype(jnp.float32)
+    for l in range(len(bufs) - 1):
+        src, dst = bufs[l], bufs[l + 1]
+        a = src[0::2, 0::2, :]
+        b = src[1::2, 0::2, :]
+        cc = src[0::2, 1::2, :]
+        d = src[1::2, 1::2, :]
+        dst[:] = jnp.concatenate(
+            [(a + b + cc + d), (-a - b + cc + d), (-a + b - cc + d),
+             (a - b - cc + d)], axis=-1) * 0.5
+    return bufs[-1][:]
+
+
+def _iwt3(v, bufs):
+    """IWT^L of a coarse 3-D (r, w, 4^L*GCb) value via f32 scratch refs."""
+    for dst in bufs:
+        ll, hl, lh, hh = jnp.split(v, 4, axis=-1)
+        dst[0::2, 0::2, :] = (ll - hl - lh + hh) * 0.5
+        dst[0::2, 1::2, :] = (ll + hl - lh - hh) * 0.5
+        dst[1::2, 0::2, :] = (ll - hl + lh - hh) * 0.5
+        dst[1::2, 1::2, :] = (ll + hl + lh + hh) * 0.5
+        v = dst[:]
+    return v
+
+
+def _packed_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
+                       g: int, precision, h: int, w: int, r: float,
+                       has_add: bool):
+    if has_add:
+        (xa, xb, aa, ab, ga, s_ref, t_ref, wp_ref, relh_ref, relw_ref,
+         dze_ref, dwp_ref, drhp_ref, drwp_ref, *scratch) = refs
+    else:
+        (xa, xb, ga, s_ref, t_ref, wp_ref, relh_ref, relw_ref,
+         dze_ref, dwp_ref, drhp_ref, drwp_ref, *scratch) = refs
+        aa = ab = None
+    sf = 2 ** levels
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    win = block + 2 * halo
+    wp = wc + 2 * halo
+    nw = wc // block
+    bb = block * block
+    hs = halo * sf
+    blk_full = block * sf
+    gcb = xa.shape[-1]
+    cb = gcb // g
+    c = cb * 4 ** levels
+    gc = g * c
+
+    n_dwt = levels + 1 if levels else 0
+    z_bufs = scratch[:n_dwt]
+    g_bufs = scratch[n_dwt:2 * n_dwt]
+    iwt_bufs = scratch[2 * n_dwt:]
+
+    # ---- forward recompute (packed) ----
+    x = jnp.concatenate([xa[:], xb[:, : 2 * hs]], axis=1)
+    x_add = None
+    if has_add:
+        x_add = jnp.concatenate([aa[:], ab[:, : 2 * hs]], axis=1)
+    sv = s_ref[pl.ds(b, 1), :]
+    tv = t_ref[pl.ds(b, 1), :]
+    z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
+                     halo=halo, levels=levels, r=r)[0].astype(jnp.float32)
+    zc = _dwt3(z, z_bufs) if levels else z          # (win, wp, GC)
+    zf = zc.reshape(win * wp, gc).astype(jnp.bfloat16)
+    qkv = jnp.dot(zf, wp_ref[:], preferred_element_type=jnp.float32,
+                  precision=precision).reshape(win, wp, 3 * gc)
+    scale = c ** -0.5
+    q_full = qkv[halo:halo + block, halo:halo + wc, :gc] * scale
+    relh = relh_ref[:].astype(jnp.float32)
+    relw = relw_ref[:].astype(jnp.float32)
+    kv_full = qkv[..., gc:] + relh[:, None, :]
+    kvb = _window_patches(kv_full[None], block=block, halo=halo, wc=wc)[0]
+    kvb = kvb + relw[None, None, :, :]
+    kvb = kvb.reshape(nw, win * win, 2 * gc)
+    kb = kvb[..., :gc]
+    vb = kvb[..., gc:]
+    qb = q_full.reshape(block, nw, block, gc).transpose(1, 0, 2, 3)
+    qb = qb.reshape(nw, bb, gc)
+    qs = jnp.concatenate([qb] * g, axis=1)          # (nw, G*bb, GC)
+    row_slot = jax.lax.broadcasted_iota(jnp.int32, (g * bb, gc), 0) // bb
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g * bb, gc), 1)
+    lane_slot = (lane % (g * cb)) // cb
+    bd = (row_slot == lane_slot)
+    qs = jnp.where(bd[None], qs, 0.0)
+    sim = jax.lax.dot_general(
+        qs, kb, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    sim = sim - jnp.max(sim, axis=-1, keepdims=True)
+    e = jnp.exp(sim)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)   # (nw, G*bb, win^2)
+
+    # ---- backward (packed) ----
+    g_band = ga[0].astype(jnp.float32)              # (blk_full, w, GCb)
+    gcoarse = _dwt3(g_band, g_bufs) if levels else g_band
+    g_w = gcoarse.astype(jnp.float32).reshape(
+        block, nw, block, gc).transpose(1, 0, 2, 3).reshape(nw, bb, gc)
+    # adjoint of the slot-diagonal extraction: broadcast onto the stacked
+    # rows under the same block-diagonal mask
+    dr = jnp.concatenate([g_w] * g, axis=1)         # (nw, G*bb, GC)
+    dr = jnp.where(bd[None], dr, 0.0)
+
+    dattn = jax.lax.dot_general(                    # dr @ v^T
+        dr, vb, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    dvb = jax.lax.dot_general(                      # attn^T @ dr
+        attn, dr, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    rs = jnp.sum(dattn * attn, axis=-1, keepdims=True)
+    dsim = attn * (dattn - rs)
+    dqs = jax.lax.dot_general(                      # dsim @ k
+        dsim, kb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    dkb = jax.lax.dot_general(                      # dsim^T @ qs
+        dsim, qs, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    # adjoint of the stacked-masked queries: masked sum over the g stacks
+    dqs = jnp.where(bd[None], dqs, 0.0)
+    dqb = jnp.sum(dqs.reshape(nw, g, bb, gc), axis=1)
+    dq_full = dqb.reshape(nw, block, block, gc).transpose(1, 0, 2, 3)
+    dq_full = dq_full.reshape(block, wc, gc) * scale
+
+    dkvb = jnp.concatenate([dkb, dvb], axis=-1)     # (nw, win^2, 2GC)
+    dkvb = dkvb.reshape(nw, win, win, 2 * gc)
+    drwp_c = jnp.sum(dkvb, axis=(0, 1))             # (win, 2GC)
+    from m2trans_tpu.ops.pallas.halo_attn import _unpatch
+
+    dkv_full = _unpatch(dkvb[None], block=block, halo=halo, wp=wp)[0]
+    drhp_c = jnp.sum(dkv_full, axis=1)              # (win, 2GC)
+
+    dq_emb = jnp.pad(dq_full, ((halo, halo), (halo, halo), (0, 0)))
+    dqkv = jnp.concatenate([dq_emb, dkv_full], axis=-1)
+    dqkv_f = dqkv.reshape(win * wp, 3 * gc)
+    dwp_c = jax.lax.dot_general(                    # zf^T @ dqkv
+        zf, dqkv_f, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    dzc = jax.lax.dot_general(                      # dqkv @ w_p^T
+        dqkv_f, wp_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision).reshape(win, wp, gc)
+    dz = _iwt3(dzc, iwt_bufs) if levels else dzc    # (win*sf, wpf, GCb)
+
+    g_pad = jnp.pad(g_band, ((hs, hs), (hs, hs), (0, 0)))
+    dz = dz.astype(jnp.float32) + g_pad
+
+    dze_ref[0, 0] = dz.astype(dze_ref.dtype)
+    first = (b == 0) & (i == 0)
+
+    @pl.when(first)
+    def _():
+        dwp_ref[:] = dwp_c.astype(dwp_ref.dtype)
+        drhp_ref[:] = drhp_c.astype(drhp_ref.dtype)
+        drwp_ref[:] = drwp_c.astype(drwp_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dwp_ref[:] = dwp_ref[:] + dwp_c.astype(dwp_ref.dtype)
+        drhp_ref[:] = drhp_ref[:] + drhp_c.astype(drhp_ref.dtype)
+        drwp_ref[:] = drwp_ref[:] + drwp_c.astype(drwp_ref.dtype)
+
+
+def packed_bwd_vmem_bytes(w, cb, g, block, halo, levels):
+    """Estimate of the packed backward kernel's VMEM (bytes). Roughly the
+    packed forward plus the cotangent-side live set: the g band block,
+    the stacked (nw, G*bb, win^2)/(nw, G*bb, GC) f32 buffers live 2-3 at
+    a time during the reverse dots, the dqkv band, and the dze out."""
+    sf = 2 ** levels
+    win = block + 2 * halo
+    blk_full = block * sf
+    hs = halo * sf
+    wp_full = w + 2 * hs
+    wc = w // sf
+    wp = wc + 2 * halo
+    nw = wc // block
+    bb = block * block
+    gcb = g * cb
+    gc = gcb * 4 ** levels
+    total = packed_vmem_bytes(w, cb, g, block, halo, levels)
+    total += 2 * 2 * blk_full * w * _lanes(gcb)          # ga blocks
+    total += 2 * 2 * (blk_full + 2 * hs) * wp_full * _lanes(gcb)  # dze
+    total += 2 * 4 * nw * g * bb * _lanes(win * win)     # dattn + dsim
+    total += 2 * 4 * nw * g * bb * _lanes(gc)            # dr + dqs
+    total += 2 * 4 * nw * win * win * _lanes(gc)         # dkb + dvb
+    total += 2 * 4 * win * wp * _lanes(3 * gc)           # dqkv + dzc
+    for l in range(levels):                              # g pyramid
+        total += 4 * (blk_full >> l) * (w >> l) * _lanes(gcb * 4 ** l)
+    return total
+
+
+def pick_packed_bwd_g(bsz: int, w: int, cb: int, levels: int,
+                      block: int = 8, halo: int = 1):
+    """Pack group for the packed backward, or None. Same lane rules as
+    the forward (G*C in [128, 256]); per-level budgets in device.py
+    ("bwd_packed_budget" — absent level = packed backward off)."""
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    budget = gate_profile().get("bwd_packed_budget", {}).get(levels)
+    if not budget:
+        return None
+    c = cb * 4 ** levels
+    best = None
+    for g in (8, 4, 2):
+        gc = g * c
+        if bsz % g or gc < 128 or gc > 256:
+            continue
+        if packed_bwd_vmem_bytes(w, cb, g, block, halo, levels) <= budget:
+            best = g
+            break
+    return best
+
+
+def packed_cascade_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *,
+                            block, halo, levels, g, r, interpret,
+                            precision=None):
+    """Packed Pallas backward for the fused cascade branch: same grads
+    as halo_attn._cascade_bwd_impl, computed at full lane occupancy."""
+    bsz, h, w, cb = x.shape
+    sf = 2 ** levels
+    c = cb * (4 ** levels)
+    win = block + 2 * halo
+    wc = w // sf
+    gcb = g * cb
+    gc = g * c
+    blk_full = block * sf
+    hs = halo * sf
+    ext = blk_full + 2 * hs
+    has_add = x_add is not None
+    bp = bsz // g
+
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if has_add else None
+    ga = pack_batch(gout, g, interpret)
+    sp = s.astype(jnp.float32).reshape(bp, gcb)
+    tp = t.astype(jnp.float32).reshape(bp, gcb)
+
+    w_p, relh_p, relw_p = pack_branch_weights(
+        w_qkv, rel_h.astype(jnp.float32), rel_w.astype(jnp.float32),
+        cb=cb, g=g, levels=levels)
+    w_p = w_p.astype(xp.dtype)
+
+    nh = h // blk_full
+    pad_bottom = (nh + 1) * blk_full - h - hs
+    pads = ((0, 0), (hs, pad_bottom), (hs, hs), (0, 0))
+    xpp = jnp.pad(xp, pads)
+    wp_full = w + 2 * hs
+
+    kernel = functools.partial(_packed_bwd_kernel, block=block, halo=halo,
+                               wc=wc, levels=levels, g=g,
+                               precision=precision, h=h, w=w, r=float(r),
+                               has_add=has_add)
+    band_spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, blk_full, wp_full, gcb), lambda b, i, o=off: (b, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: tuple(0 for _ in shp), memory_space=pltpu.VMEM)
+    per_img = pl.BlockSpec((bp, gcb), lambda b, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xpp, xpp]
+    in_specs = [band_spec(0), band_spec(1)]
+    if has_add:
+        app = jnp.pad(ap, pads)
+        operands += [app, app]
+        in_specs += [band_spec(0), band_spec(1)]
+    operands += [ga]
+    in_specs += [pl.BlockSpec((1, blk_full, w, gcb),
+                              lambda b, i: (b, i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    operands += [sp, tp, w_p, relh_p, relw_p]
+    in_specs += [per_img, per_img, const((gc, 3 * gc)),
+                 const((win, 2 * gc)), const((win, 2 * gc))]
+
+    scratch = []
+    if levels:
+        rows0 = win * sf
+        for l in range(levels + 1):  # z pyramid (band geometry)
+            scratch.append(pltpu.VMEM(
+                (rows0 >> l, wp_full >> l, gcb * 4 ** l), jnp.float32))
+        for l in range(levels + 1):  # g pyramid (block geometry)
+            scratch.append(pltpu.VMEM(
+                (blk_full >> l, w >> l, gcb * 4 ** l), jnp.float32))
+        wpc = wc + 2 * halo
+        for l in range(levels):  # dz IWT pyramid (band geometry)
+            scratch.append(pltpu.VMEM(
+                ((win * 2) << l, (wpc * 2) << l, gc // 4 ** (l + 1)),
+                jnp.float32))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bp, nh, ext, wp_full, gcb), x.dtype),
+        jax.ShapeDtypeStruct((gc, 3 * gc), jnp.float32),
+        jax.ShapeDtypeStruct((win, 2 * gc), jnp.float32),
+        jax.ShapeDtypeStruct((win, 2 * gc), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, ext, wp_full, gcb),
+                     lambda b, i: (b, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((gc, 3 * gc)), const((win, 2 * gc)), const((win, 2 * gc)),
+    ]
+    dze, dwp, drhp, drwp = pl.pallas_call(
+        kernel,
+        grid=(bp, nh),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+    # fold overlapping extended bands (rows), crop, unpack
+    dze = dze.astype(jnp.float32)
+    main = dze[:, :, :blk_full].reshape(bp, nh * blk_full, wp_full, gcb)
+    tailp = jnp.pad(dze[:, :, blk_full:],
+                    ((0, 0), (0, 0), (0, blk_full - 2 * hs), (0, 0),
+                     (0, 0)))
+    tailp = tailp.reshape(bp, nh * blk_full, wp_full, gcb)
+    acc_rows = jnp.pad(main, ((0, 0), (0, blk_full), (0, 0), (0, 0))) \
+        + jnp.pad(tailp, ((0, 0), (blk_full, 0), (0, 0), (0, 0)))
+    dz_packed = acc_rows[:, hs:hs + h, hs:hs + w, :]
+    dz = unpack_batch(dz_packed, g, interpret)      # (bsz, h, w, cb) f32
+
+    xf = x.astype(jnp.float32)
+    dx = (dz * s.astype(jnp.float32)[:, None, None, :]).astype(x.dtype)
+    ds = jnp.sum(dz * xf, axis=(1, 2)).astype(s.dtype)
+    dt = jnp.sum(dz, axis=(1, 2)).astype(t.dtype)
+    dw, drel_h, drel_w = unpack_weight_grads(dwp, drhp, drwp, cb=cb, g=g,
+                                             levels=levels)
+    dw_qkv = dw.astype(w_qkv.dtype)
+    drel_h = drel_h.astype(rel_h.dtype)
+    drel_w = drel_w.astype(rel_w.dtype)
+    if has_add:
+        dx_add = (r * dz).astype(x_add.dtype)
+        return dx, dx_add, ds, dt, dw_qkv, drel_h, drel_w
+    return dx, ds, dt, dw_qkv, drel_h, drel_w

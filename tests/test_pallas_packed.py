@@ -117,3 +117,63 @@ def test_packed_front_matches_xla(levels, with_add):
     g32, w32 = np.asarray(got, np.float32), np.asarray(want, np.float32)
     np.testing.assert_allclose(g32, w32, atol=5e-2, rtol=5e-2)
     assert float(np.abs(g32 - w32).mean()) < 5e-3
+
+
+@pytest.mark.parametrize("levels,cb,g", [
+    (0, 16, 4), (0, 16, 8), (1, 16, 2), (1, 16, 4),
+])
+@pytest.mark.parametrize("with_add", [False, True])
+def test_packed_bwd_matches_banded_bwd(levels, cb, g, with_add):
+    """Packed backward vs the (gradient-parity-tested) banded backward:
+    identical math in packed lanes, so all grads must match to bf16
+    boundary noise."""
+    from m2trans_tpu.ops.pallas.halo_attn import _cascade_bwd_impl
+
+    rng = np.random.default_rng(17 + levels * 10 + g)
+    b, h, w = max(g, 4), 32, 32
+    x, xa, s, t, w_qkv, rel_h, rel_w = _mk(rng, b, h, w, cb, levels,
+                                           with_add)
+    r = 0.5 if with_add else 0.0
+    g_out = jnp.asarray(rng.standard_normal((b, h, w, cb)), jnp.bfloat16)
+
+    got = pk.packed_cascade_bwd_impl(
+        x, xa, s, t, w_qkv, rel_h, rel_w, g_out, block=8, halo=1,
+        levels=levels, g=g, r=r, interpret=True)
+    want = _cascade_bwd_impl(
+        x, xa, s, t, w_qkv, rel_h, rel_w, g_out, block=8, halo=1,
+        levels=levels, r=r, interpret=True)
+
+    names = (("dx", "dx_add", "ds", "dt", "dw_qkv", "drel_h", "drel_w")
+             if with_add else
+             ("dx", "ds", "dt", "dw_qkv", "drel_h", "drel_w"))
+    for name, a, bnd in zip(names, got, want):
+        bb = np.asarray(bnd, np.float32)
+        tol = max(2e-3, 8e-3 * float(np.abs(bb).max()))
+        np.testing.assert_allclose(np.asarray(a, np.float32), bb,
+                                   atol=tol, err_msg=name)
+
+
+def test_unpack_weight_grads_adjoint():
+    """unpack_weight_grads must be the exact adjoint of
+    pack_branch_weights: <pack(W), Gp> == <W, unpack(Gp)> for random
+    cotangents (f32, both levels)."""
+    rng = np.random.default_rng(5)
+    for levels, cb, g in ((0, 16, 4), (1, 4, 4), (2, 4, 2)):
+        c = cb * 4 ** levels
+        gc = g * c
+        w = jnp.asarray(rng.standard_normal((c, 3 * c)), jnp.float32)
+        rh = jnp.asarray(rng.standard_normal((10, c // 2)), jnp.float32)
+        rw = jnp.asarray(rng.standard_normal((10, c // 2)), jnp.float32)
+        wp, rhp, rwp = pk.pack_branch_weights(w, rh, rw, cb=cb, g=g,
+                                              levels=levels)
+        gw = jnp.asarray(rng.standard_normal(wp.shape), jnp.float32)
+        grh = jnp.asarray(rng.standard_normal(rhp.shape), jnp.float32)
+        grw = jnp.asarray(rng.standard_normal(rwp.shape), jnp.float32)
+        dw, drh, drw = pk.unpack_weight_grads(gw, grh, grw, cb=cb, g=g,
+                                              levels=levels)
+        np.testing.assert_allclose(float(jnp.vdot(wp, gw)),
+                                   float(jnp.vdot(w, dw)), rtol=1e-5)
+        np.testing.assert_allclose(float(jnp.vdot(rhp, grh)),
+                                   float(jnp.vdot(rh, drh)), rtol=1e-5)
+        np.testing.assert_allclose(float(jnp.vdot(rwp, grw)),
+                                   float(jnp.vdot(rw, drw)), rtol=1e-5)
