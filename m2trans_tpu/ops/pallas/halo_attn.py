@@ -1253,12 +1253,21 @@ def _bwd_tiled_slab(w, cb, c, block, halo, levels):
         return (_banded_vmem_bytes(sl, cb, c, block, halo, levels)
                 + extra_x + out_ext)
 
-    slab = (w // blk_full) * blk_full
-    while slab > blk_full and est(slab) > budget:
-        slab -= blk_full
-    if est(slab) > budget:
-        return None
-    return slab
+    # among fitting slabs, minimize total tile compute
+    # nwb*(slab + 2*hs) — the largest slab is NOT always cheapest (at
+    # W=96, slab=64 pads a half-empty second tile: 2x72=144 columns vs
+    # slab=32's 3x40=120); ties prefer the larger slab (fewer programs)
+    best, best_cost = None, None
+    sl = blk_full
+    while sl <= (w // blk_full + 1) * blk_full and sl <= w + blk_full - 1:
+        if est(sl) <= budget:
+            nwb = -(-w // sl)
+            cost = nwb * (sl + 2 * hs)
+            if best is None or cost < best_cost or (cost == best_cost
+                                                    and sl > best):
+                best, best_cost = sl, cost
+        sl += blk_full
+    return best
 
 
 def _cascade_bwd_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *,
@@ -1498,12 +1507,17 @@ def _make_cascade_fused(has_add: bool):
         from m2trans_tpu.ops.pallas.device import gate_profile
         from m2trans_tpu.ops.pallas.halo_attn_packed import (
             pick_packed_bwd_g,
+            pick_packed_bwd_tiled,
         )
 
         g = pick_packed_bwd_g(x.shape[0], x.shape[2], cb, levels, block,
                               halo)
         if g:
             return "packed", g
+        gs = pick_packed_bwd_tiled(x.shape[0], x.shape[2], cb, levels,
+                                   block, halo)
+        if gs:
+            return "packed_tiled", gs
         est = _banded_vmem_bytes(x.shape[2], cb, c, block, halo, levels)
         bwd_limit = gate_profile().get("bwd_banded_limit_default",
                                        9 * 1024 * 1024)
@@ -1533,6 +1547,15 @@ def _make_cascade_fused(has_add: bool):
                 return packed_cascade_bwd_impl(
                     x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
                     halo=halo, levels=levels, g=pg, r=r,
+                    interpret=interpret, precision=precision)
+            if mode == "packed_tiled":
+                from m2trans_tpu.ops.pallas.halo_attn_packed import (
+                    packed_cascade_bwd_tiled_impl,
+                )
+
+                return packed_cascade_bwd_tiled_impl(
+                    x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, g=pg[0], slab=pg[1], r=r,
                     interpret=interpret, precision=precision)
             if mode == "banded":
                 return _cascade_bwd_impl(
@@ -1569,6 +1592,15 @@ def _make_cascade_fused(has_add: bool):
                 return packed_cascade_bwd_impl(
                     x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
                     halo=halo, levels=levels, g=pg, r=r,
+                    interpret=interpret, precision=precision)
+            if mode == "packed_tiled":
+                from m2trans_tpu.ops.pallas.halo_attn_packed import (
+                    packed_cascade_bwd_tiled_impl,
+                )
+
+                return packed_cascade_bwd_tiled_impl(
+                    x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, g=pg[0], slab=pg[1], r=r,
                     interpret=interpret, precision=precision)
             if mode == "banded":
                 return _cascade_bwd_impl(

@@ -973,44 +973,28 @@ def _iwt3(v, bufs):
     return v
 
 
-def _packed_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
-                       g: int, precision, h: int, w: int, r: float,
-                       has_add: bool):
-    if has_add:
-        (xa, xb, aa, ab, ga, s_ref, t_ref, wp_ref, relh_ref, relw_ref,
-         dze_ref, dwp_ref, drhp_ref, drwp_ref, *scratch) = refs
-    else:
-        (xa, xb, ga, s_ref, t_ref, wp_ref, relh_ref, relw_ref,
-         dze_ref, dwp_ref, drhp_ref, drwp_ref, *scratch) = refs
-        aa = ab = None
+def _packed_bwd_body(x, x_add, g_band4, sv, tv, wp_ref, relh_ref,
+                     relw_ref, z_bufs, g_bufs, iwt_bufs, *, block, halo,
+                     wc, levels, g, precision, h, w, r, i, col_off=0):
+    """Shared packed backward math on assembled band/tile values.
+    ``x``: (1, win*2^L, Wp_full, GCb) packed band; ``g_band4``:
+    (1, blk*2^L, W_cols, GCb) packed cotangent block. Returns
+    (dz extended band f32 (3-D), dwp, drhp, drwp — all packed)."""
     sf = 2 ** levels
-    b = pl.program_id(0)
-    i = pl.program_id(1)
     win = block + 2 * halo
     wp = wc + 2 * halo
     nw = wc // block
     bb = block * block
     hs = halo * sf
-    blk_full = block * sf
-    gcb = xa.shape[-1]
+    gcb = x.shape[-1]
     cb = gcb // g
     c = cb * 4 ** levels
     gc = g * c
 
-    n_dwt = levels + 1 if levels else 0
-    z_bufs = scratch[:n_dwt]
-    g_bufs = scratch[n_dwt:2 * n_dwt]
-    iwt_bufs = scratch[2 * n_dwt:]
-
     # ---- forward recompute (packed) ----
-    x = jnp.concatenate([xa[:], xb[:, : 2 * hs]], axis=1)
-    x_add = None
-    if has_add:
-        x_add = jnp.concatenate([aa[:], ab[:, : 2 * hs]], axis=1)
-    sv = s_ref[pl.ds(b, 1), :]
-    tv = t_ref[pl.ds(b, 1), :]
     z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
-                     halo=halo, levels=levels, r=r)[0].astype(jnp.float32)
+                     halo=halo, levels=levels, r=r,
+                     col_off=col_off)[0].astype(jnp.float32)
     zc = _dwt3(z, z_bufs) if levels else z          # (win, wp, GC)
     zf = zc.reshape(win * wp, gc).astype(jnp.bfloat16)
     qkv = jnp.dot(zf, wp_ref[:], preferred_element_type=jnp.float32,
@@ -1041,7 +1025,7 @@ def _packed_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
     attn = e / jnp.sum(e, axis=-1, keepdims=True)   # (nw, G*bb, win^2)
 
     # ---- backward (packed) ----
-    g_band = ga[0].astype(jnp.float32)              # (blk_full, w, GCb)
+    g_band = g_band4[0].astype(jnp.float32)         # (blk_full, w, GCb)
     gcoarse = _dwt3(g_band, g_bufs) if levels else g_band
     g_w = gcoarse.astype(jnp.float32).reshape(
         block, nw, block, gc).transpose(1, 0, 2, 3).reshape(nw, bb, gc)
@@ -1093,10 +1077,11 @@ def _packed_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
 
     g_pad = jnp.pad(g_band, ((hs, hs), (hs, hs), (0, 0)))
     dz = dz.astype(jnp.float32) + g_pad
+    return dz, dwp_c, drhp_c, drwp_c
 
-    dze_ref[0, 0] = dz.astype(dze_ref.dtype)
-    first = (b == 0) & (i == 0)
 
+def _packed_acc_grads(first, dwp_ref, drhp_ref, drwp_ref, dwp_c, drhp_c,
+                      drwp_c):
     @pl.when(first)
     def _():
         dwp_ref[:] = dwp_c.astype(dwp_ref.dtype)
@@ -1108,6 +1093,87 @@ def _packed_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
         dwp_ref[:] = dwp_ref[:] + dwp_c.astype(dwp_ref.dtype)
         drhp_ref[:] = drhp_ref[:] + drhp_c.astype(drhp_ref.dtype)
         drwp_ref[:] = drwp_ref[:] + drwp_c.astype(drwp_ref.dtype)
+
+
+def _packed_bwd_kernel(*refs, block: int, halo: int, wc: int, levels: int,
+                       g: int, precision, h: int, w: int, r: float,
+                       has_add: bool):
+    if has_add:
+        (xa, xb, aa, ab, ga, s_ref, t_ref, wp_ref, relh_ref, relw_ref,
+         dze_ref, dwp_ref, drhp_ref, drwp_ref, *scratch) = refs
+    else:
+        (xa, xb, ga, s_ref, t_ref, wp_ref, relh_ref, relw_ref,
+         dze_ref, dwp_ref, drhp_ref, drwp_ref, *scratch) = refs
+        aa = ab = None
+    sf = 2 ** levels
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    hs = halo * sf
+
+    n_dwt = levels + 1 if levels else 0
+    z_bufs = scratch[:n_dwt]
+    g_bufs = scratch[n_dwt:2 * n_dwt]
+    iwt_bufs = scratch[2 * n_dwt:]
+
+    x = jnp.concatenate([xa[:], xb[:, : 2 * hs]], axis=1)
+    x_add = None
+    if has_add:
+        x_add = jnp.concatenate([aa[:], ab[:, : 2 * hs]], axis=1)
+    sv = s_ref[pl.ds(b, 1), :]
+    tv = t_ref[pl.ds(b, 1), :]
+    dz, dwp_c, drhp_c, drwp_c = _packed_bwd_body(
+        x, x_add, ga[:], sv, tv, wp_ref, relh_ref, relw_ref, z_bufs,
+        g_bufs, iwt_bufs, block=block, halo=halo, wc=wc, levels=levels,
+        g=g, precision=precision, h=h, w=w, r=r, i=i)
+
+    dze_ref[0, 0] = dz.astype(dze_ref.dtype)
+    _packed_acc_grads((b == 0) & (i == 0), dwp_ref, drhp_ref, drwp_ref,
+                      dwp_c, drhp_c, drwp_c)
+
+
+def _packed_bwd_tile_kernel(*refs, block: int, halo: int, wc: int,
+                            levels: int, g: int, precision, h: int,
+                            w: int, slab: int, r: float, has_add: bool):
+    """Column-slab tiled PACKED backward: grid (B/G, nh, n_slabs) —
+    full-lane packed reverse chain at widths where the full-width packed
+    backward exceeds VMEM (the x2/x3 body widths). Per-program footprint
+    equals the verified full-width case at W == slab."""
+    if has_add:
+        (xaa, xab, xba, xbb, aaa, aab, aba, abb, ga, s_ref, t_ref,
+         wp_ref, relh_ref, relw_ref,
+         dze_ref, dwp_ref, drhp_ref, drwp_ref, *scratch) = refs
+    else:
+        (xaa, xab, xba, xbb, ga, s_ref, t_ref, wp_ref, relh_ref,
+         relw_ref, dze_ref, dwp_ref, drhp_ref, drwp_ref, *scratch) = refs
+        aaa = aab = aba = abb = None
+    sf = 2 ** levels
+    hh = 2 * halo * sf
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    n_dwt = levels + 1 if levels else 0
+    z_bufs = scratch[:n_dwt]
+    g_bufs = scratch[n_dwt:2 * n_dwt]
+    iwt_bufs = scratch[2 * n_dwt:]
+
+    def tile(va, vb, vc, vd):
+        top = jnp.concatenate([va[0], vb[0][:, :hh]], axis=1)
+        bot = jnp.concatenate([vc[0][:hh], vd[0][:hh, :hh]], axis=1)
+        return jnp.concatenate([top, bot], axis=0)[None]
+
+    x = tile(xaa, xab, xba, xbb)
+    x_add = tile(aaa, aab, aba, abb) if has_add else None
+    sv = s_ref[pl.ds(b, 1), :]
+    tv = t_ref[pl.ds(b, 1), :]
+    dz, dwp_c, drhp_c, drwp_c = _packed_bwd_body(
+        x, x_add, ga[:], sv, tv, wp_ref, relh_ref, relw_ref, z_bufs,
+        g_bufs, iwt_bufs, block=block, halo=halo, wc=wc, levels=levels,
+        g=g, precision=precision, h=h, w=w, r=r, i=i, col_off=j * slab)
+
+    dze_ref[0, 0, :, 0] = dz.astype(dze_ref.dtype)
+    _packed_acc_grads((b == 0) & (i == 0) & (j == 0), dwp_ref, drhp_ref,
+                      drwp_ref, dwp_c, drhp_c, drwp_c)
 
 
 def packed_bwd_vmem_bytes(w, cb, g, block, halo, levels):
@@ -1267,6 +1333,190 @@ def packed_cascade_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *,
     tailp = tailp.reshape(bp, nh * blk_full, wp_full, gcb)
     acc_rows = jnp.pad(main, ((0, 0), (0, blk_full), (0, 0), (0, 0))) \
         + jnp.pad(tailp, ((0, 0), (blk_full, 0), (0, 0), (0, 0)))
+    dz_packed = acc_rows[:, hs:hs + h, hs:hs + w, :]
+    dz = unpack_batch(dz_packed, g, interpret)      # (bsz, h, w, cb) f32
+
+    xf = x.astype(jnp.float32)
+    dx = (dz * s.astype(jnp.float32)[:, None, None, :]).astype(x.dtype)
+    ds = jnp.sum(dz * xf, axis=(1, 2)).astype(s.dtype)
+    dt = jnp.sum(dz, axis=(1, 2)).astype(t.dtype)
+    dw, drel_h, drel_w = unpack_weight_grads(dwp, drhp, drwp, cb=cb, g=g,
+                                             levels=levels)
+    dw_qkv = dw.astype(w_qkv.dtype)
+    drel_h = drel_h.astype(rel_h.dtype)
+    drel_w = drel_w.astype(rel_w.dtype)
+    if has_add:
+        dx_add = (r * dz).astype(x_add.dtype)
+        return dx, dx_add, ds, dt, dw_qkv, drel_h, drel_w
+    return dx, ds, dt, dw_qkv, drel_h, drel_w
+
+
+def pick_packed_bwd_tiled(bsz: int, w: int, cb: int, levels: int,
+                          block: int = 8, halo: int = 1):
+    """(g, slab) for the column-slab tiled packed backward, or None.
+    Slab widths reuse the full-width packed-bwd budget with W == slab
+    (the per-program footprint is identical up to the two extra views);
+    among fitting (g, slab), maximize g then minimize total tile compute
+    nwb*(slab + 2*halo*2^L)."""
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    budget = gate_profile().get("bwd_packed_budget", {}).get(levels)
+    if not budget:
+        return None
+    c = cb * 4 ** levels
+    sf = 2 ** levels
+    blk_full = block * sf
+    hs = halo * sf
+    if w % blk_full:
+        return None
+    for g in (8, 4, 2):
+        gc = g * c
+        if bsz % g or gc < 128 or gc > 256:
+            continue
+
+        def est(sl, g=g):
+            # two extra x views on top of the full-width estimate at W=sl
+            extra = 2 * 2 * 2 * blk_full * (sl + 2 * hs) * _lanes(g * cb)
+            return packed_bwd_vmem_bytes(sl, cb, g, block, halo,
+                                         levels) + extra
+
+        best, best_cost = None, None
+        sl = blk_full
+        while sl <= w:
+            if sl < w and est(sl) <= budget:
+                nwb = -(-w // sl)
+                cost = nwb * (sl + 2 * hs)
+                if best is None or cost < best_cost or (
+                        cost == best_cost and sl > best):
+                    best, best_cost = sl, cost
+            sl += blk_full
+        if best is not None:
+            return g, best
+    return None
+
+
+def packed_cascade_bwd_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w,
+                                  gout, *, block, halo, levels, g, slab,
+                                  r, interpret, precision=None):
+    """Column-slab tiled packed backward (see _packed_bwd_tile_kernel).
+    Same grads as packed_cascade_bwd_impl at widths beyond its VMEM
+    budget."""
+    bsz, h, w, cb = x.shape
+    sf = 2 ** levels
+    c = cb * (4 ** levels)
+    win = block + 2 * halo
+    gcb = g * cb
+    gc = g * c
+    blk_full = block * sf
+    hs = halo * sf
+    ext = blk_full + 2 * hs
+    has_add = x_add is not None
+    bp = bsz // g
+    wcs = slab // sf
+    wps = slab + 2 * hs
+    nwb = -(-w // slab)
+    nh = h // blk_full
+
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if has_add else None
+    ga = pack_batch(gout, g, interpret)
+    ga = jnp.pad(ga, ((0, 0), (0, 0), (0, nwb * slab - w), (0, 0)))
+    sp = s.astype(jnp.float32).reshape(bp, gcb)
+    tp = t.astype(jnp.float32).reshape(bp, gcb)
+
+    w_p, relh_p, relw_p = pack_branch_weights(
+        w_qkv, rel_h.astype(jnp.float32), rel_w.astype(jnp.float32),
+        cb=cb, g=g, levels=levels)
+    w_p = w_p.astype(xp.dtype)
+
+    pad_bottom = (nh + 1) * blk_full - h - hs
+    pad_right = (nwb + 1) * slab - w - hs
+    pads = ((0, 0), (hs, pad_bottom), (hs, pad_right), (0, 0))
+    xpp = jnp.pad(xp, pads)
+
+    kernel = functools.partial(_packed_bwd_tile_kernel, block=block,
+                               halo=halo, wc=wcs, levels=levels, g=g,
+                               precision=precision, h=h, w=w, slab=slab,
+                               r=float(r), has_add=has_add)
+    view = lambda oi, oj: pl.BlockSpec(  # noqa: E731
+        (1, blk_full, slab, gcb),
+        lambda b, i, j, a=oi, d=oj: (b, i + a, j + d, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i, j: tuple(0 for _ in shp),
+        memory_space=pltpu.VMEM)
+    per_img = pl.BlockSpec((bp, gcb), lambda b, i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xpp, xpp, xpp, xpp]
+    in_specs = [view(0, 0), view(0, 1), view(1, 0), view(1, 1)]
+    if has_add:
+        app = jnp.pad(ap, pads)
+        operands += [app, app, app, app]
+        in_specs += [view(0, 0), view(0, 1), view(1, 0), view(1, 1)]
+    operands += [ga]
+    in_specs += [pl.BlockSpec((1, blk_full, slab, gcb),
+                              lambda b, i, j: (b, i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    operands += [sp, tp, w_p, relh_p, relw_p]
+    in_specs += [per_img, per_img, const((gc, 3 * gc)),
+                 const((win, 2 * gc)), const((win, 2 * gc))]
+
+    scratch = []
+    if levels:
+        rows0 = win * sf
+        for l in range(levels + 1):  # z pyramid (tile geometry)
+            scratch.append(pltpu.VMEM(
+                (rows0 >> l, wps >> l, gcb * 4 ** l), jnp.float32))
+        for l in range(levels + 1):  # g pyramid (block geometry)
+            scratch.append(pltpu.VMEM(
+                (blk_full >> l, slab >> l, gcb * 4 ** l), jnp.float32))
+        wpc = wcs + 2 * halo
+        for l in range(levels):  # dz IWT pyramid (tile geometry)
+            scratch.append(pltpu.VMEM(
+                ((win * 2) << l, (wpc * 2) << l, gc // 4 ** (l + 1)),
+                jnp.float32))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bp, nh, ext, nwb, wps, gcb), x.dtype),
+        jax.ShapeDtypeStruct((gc, 3 * gc), jnp.float32),
+        jax.ShapeDtypeStruct((win, 2 * gc), jnp.float32),
+        jax.ShapeDtypeStruct((win, 2 * gc), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, ext, 1, wps, gcb),
+                     lambda b, i, j: (b, i, 0, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((gc, 3 * gc)), const((win, 2 * gc)), const((win, 2 * gc)),
+    ]
+    dze, dwp, drhp, drwp = pl.pallas_call(
+        kernel,
+        grid=(bp, nh, nwb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+    # 2-D overlap-add (columns then rows), crop, unpack
+    dze = dze.astype(jnp.float32)  # (bp, nh, ext, nwb, wps, gcb)
+    mainc = dze[..., :slab, :].reshape(bp, nh, ext, nwb * slab, gcb)
+    tailc = jnp.pad(dze[..., slab:, :],
+                    ((0, 0), (0, 0), (0, 0), (0, 0),
+                     (0, slab - 2 * hs), (0, 0)))
+    tailc = tailc.reshape(bp, nh, ext, nwb * slab, gcb)
+    acc_c = jnp.pad(mainc, ((0, 0), (0, 0), (0, 0), (0, slab), (0, 0))) \
+        + jnp.pad(tailc, ((0, 0), (0, 0), (0, 0), (slab, 0), (0, 0)))
+
+    cw = acc_c.shape[3]
+    mainr = acc_c[:, :, :blk_full].reshape(bp, nh * blk_full, cw, gcb)
+    tailr = jnp.pad(acc_c[:, :, blk_full:],
+                    ((0, 0), (0, 0), (0, blk_full - 2 * hs), (0, 0),
+                     (0, 0)))
+    tailr = tailr.reshape(bp, nh * blk_full, cw, gcb)
+    acc_rows = jnp.pad(mainr, ((0, 0), (0, blk_full), (0, 0), (0, 0))) \
+        + jnp.pad(tailr, ((0, 0), (blk_full, 0), (0, 0), (0, 0)))
     dz_packed = acc_rows[:, hs:hs + h, hs:hs + w, :]
     dz = unpack_batch(dz_packed, g, interpret)      # (bsz, h, w, cb) f32
 

@@ -54,12 +54,14 @@ def chain(fn, n, *args):
 
 def main():
     np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))  # warm tunnel
-    scale = 4
+    scale, n_blocks = 4, 8
     for a in sys.argv[1:]:
         if a.startswith("--scale="):
             scale = int(a.split("=")[1])
+        if a.startswith("--blocks="):
+            n_blocks = int(a.split("=")[1])
     lr_size = (LR_SIZE * 4) // scale  # same 384^2 HR patch at every scale
-    cfg = Config(scale=scale, n_feats=64, n_blocks=8, colors=3,
+    cfg = Config(scale=scale, n_feats=64, n_blocks=n_blocks, colors=3,
                  dtype="bfloat16", use_pallas=True, batch_size=B,
                  patch_size=lr_size * scale, cutmix=False, lambda_l1=1.0,
                  lambda_clip=0.0)

@@ -177,3 +177,38 @@ def test_unpack_weight_grads_adjoint():
                                    float(jnp.vdot(rh, drh)), rtol=1e-5)
         np.testing.assert_allclose(float(jnp.vdot(rwp, grw)),
                                    float(jnp.vdot(rw, drw)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("levels,g,slab,hw", [(0, 4, 32, 64),
+                                              (1, 2, 32, 96)])
+@pytest.mark.parametrize("with_add", [False, True])
+def test_packed_bwd_tiled_matches_banded(levels, g, slab, hw, with_add):
+    """Column-slab tiled packed backward vs the banded backward: the 2-D
+    overlap-add of packed dz tiles plus the packed weight-grad
+    accumulation across the 3-D grid must reproduce the full-width
+    grads."""
+    from m2trans_tpu.ops.pallas.halo_attn import _cascade_bwd_impl
+
+    rng = np.random.default_rng(23 + levels * 10 + g)
+    b = max(g, 4)
+    x, xa, s, t, w_qkv, rel_h, rel_w = _mk(rng, b, 32, hw, 16, levels,
+                                           with_add)
+    r = 0.5 if with_add else 0.0
+    g_out = jnp.asarray(rng.standard_normal((b, 32, hw, 16)),
+                        jnp.bfloat16)
+
+    got = pk.packed_cascade_bwd_tiled_impl(
+        x, xa, s, t, w_qkv, rel_h, rel_w, g_out, block=8, halo=1,
+        levels=levels, g=g, slab=slab, r=r, interpret=True)
+    want = _cascade_bwd_impl(
+        x, xa, s, t, w_qkv, rel_h, rel_w, g_out, block=8, halo=1,
+        levels=levels, r=r, interpret=True)
+
+    names = (("dx", "dx_add", "ds", "dt", "dw_qkv", "drel_h", "drel_w")
+             if with_add else
+             ("dx", "ds", "dt", "dw_qkv", "drel_h", "drel_w"))
+    for name, a, bnd in zip(names, got, want):
+        bb = np.asarray(bnd, np.float32)
+        tol = max(2e-3, 8e-3 * float(np.abs(bb).max()))
+        np.testing.assert_allclose(np.asarray(a, np.float32), bb,
+                                   atol=tol, err_msg=name)
