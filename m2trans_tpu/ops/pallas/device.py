@@ -82,6 +82,11 @@ _V5E = {
     # 6.37. W=192 L=0 g=8 (est 70.6M) and L=1 g<=4 (est >=29M) OOM ->
     # budgets sit just above the verified shapes.
     "bwd_packed_budget": {0: 36e6, 1: 26e6},
+    # Tail backward (tail_band: four slim kernels — recompute/dK/dph/
+    # stage adjoint): checked against tail_bwd_vmem_bytes (max per-kernel
+    # peak). The earlier monolithic formulations measured 18.5-23M scoped
+    # vs the 16M ceiling; the split keeps every kernel ~11-12M estimated.
+    "tail_bwd_limit": 13e6,
 }
 
 # device_kind prefix (lowercased) -> calibration

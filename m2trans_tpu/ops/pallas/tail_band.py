@@ -227,13 +227,16 @@ def _tail_band_fwd(p, x, scale, rgb_range, dtype, precision, interpret):
 
 
 def _tail_band_bwd(scale, rgb_range, dtype, precision, interpret, res, g):
-    # backward through the mathematically identical XLA composition (the
-    # clamp belongs to the function here, matching the model's semantics;
-    # the outer clamp in m2trans_apply is an idempotent no-op on values
-    # already inside the range and passes unit gradient there)
-    from m2trans_tpu.ops.tail_phase import tail_phase_apply
-
     p, x = res
+    if _tail_bwd_fits(x.shape[1], x.shape[2], scale, x.shape[-1]):
+        return _tail_band_bwd_pallas(scale, rgb_range, dtype, precision,
+                                     interpret, p, x, g)
+    # fallback: backward through the mathematically identical XLA
+    # composition (the clamp belongs to the function here, matching the
+    # model's semantics; the outer clamp in m2trans_apply is an
+    # idempotent no-op on values already inside the range and passes
+    # unit gradient there)
+    from m2trans_tpu.ops.tail_phase import tail_phase_apply
 
     def f(pp, xx):
         y = tail_phase_apply(pp, xx, scale=scale, dtype=dtype,
@@ -242,6 +245,45 @@ def _tail_band_bwd(scale, rgb_range, dtype, precision, interpret, res, g):
 
     _, vjp = jax.vjp(f, p, x)
     return vjp(g)
+
+
+def _tail_band_bwd_pallas(scale, rgb_range, dtype, precision, interpret,
+                          p, x, g):
+    """Band-kernel backward: in-VMEM recompute + adjoint (see module
+    header). Weight grads leave in the permuted/selector-expanded layout
+    and transpose back through jax.vjp of tail_phase_weights; edge grads
+    through jax.vjp of phase_edges; dy through the row overlap-add plus
+    the edge-pad adjoints."""
+    from m2trans_tpu.ops.tail_phase import phase_edges, tail_phase_weights
+
+    nh = x.shape[1] // _BLOCK
+    pad_rows = (nh + 1) * _BLOCK
+    xd = x.astype(dtype)
+
+    (w0, b0, w1, b1, k), wvjp = jax.vjp(
+        lambda pp: tail_phase_weights(pp, scale=scale, dtype=dtype,
+                                      precision=precision), p)
+    (lc4, rc4, top, bot), evjp = jax.vjp(
+        lambda pp, xx: phase_edges(pp, xx, scale=scale, dtype=dtype,
+                                   precision=precision,
+                                   pad_rows=pad_rows), p, xd)
+    lc, rc = lc4[:, :, 0, :], rc4[:, :, 0, :]
+
+    g_ps = _ps_adjoint(g, scale)
+    (dy, dw0, db0, dw1, db1, dk, dlc, drc, dtop,
+     dbot) = tail_band_bwd_fused(
+        xd, g_ps, w0, b0, w1, b1, k, lc, rc, top, bot, scale=scale,
+        rgb_range=rgb_range, interpret=interpret, precision=precision)
+
+    (dp_w,) = wvjp((dw0.astype(w0.dtype), db0.astype(b0.dtype),
+                    dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                    dk.astype(k.dtype)))
+    dp_e, dx_e = evjp((dlc[:, :, None, :].astype(lc4.dtype),
+                       drc[:, :, None, :].astype(rc4.dtype),
+                       dtop.astype(top.dtype), dbot.astype(bot.dtype)))
+    dp = jax.tree_util.tree_map(lambda a, b: a + b, dp_w, dp_e)
+    dx = dy.astype(x.dtype) + dx_e.astype(x.dtype)
+    return dp, dx
 
 
 _tail_band.defvjp(_tail_band_fwd, _tail_band_bwd)
@@ -257,3 +299,453 @@ def tail_band_apply(p: Params, x: jnp.ndarray, *, scale: int,
         interpret = not _is_tpu_backend()
     return _tail_band(p, x, scale, rgb_range, dtype, precision,
                       bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Pallas BACKWARD for the fused tail (late round 3): the XLA vjp through
+# tail_phase_apply costs ~8-9 ms/step at the flagship shape — it streams
+# the (B, H, W, P*nf) phase tensor through HBM twice (forward recompute +
+# adjoint). This band kernel recomputes the stage pipeline and the
+# pre-clip conv output in VMEM per 8-row band, then walks the adjoint:
+# clip mask -> 9-tap conv transpose (dK accumulation + shifted dph adds)
+# -> edge-splice adjoints (dlc/drc/dtop/dbot collected, folded outside)
+# -> stage GELU'/dot transposes -> dy extended bands (row overlap-add in
+# XLA). Weight grads leave in the PERMUTED/selector-expanded layout and
+# transpose back through jax.vjp(tail_phase_weights); edge grads route
+# through jax.vjp(phase_edges).
+# ---------------------------------------------------------------------------
+
+
+def _gelu_grad(pre):
+    """d gelu(x) / dx at x = pre (exact-erf form, polynomial erf)."""
+    inv_sqrt2 = 0.7071067811865476
+    c = 0.3989422804014327  # 1/sqrt(2*pi)
+    return (0.5 * (1.0 + _erf(pre * inv_sqrt2))
+            + pre * c * jnp.exp(-0.5 * pre * pre))
+
+
+def _bwd_recompute_kernel(y_a, y_b, g_ref, lc_ref, rc_ref, top_ref,
+                          bot_ref, w0_ref, b0_ref, w1_ref, b1_ref, k_ref,
+                          ph_ref, gm_ref, *, nf: int, scale: int,
+                          nh: int, w: int, rgb_range: float, precision):
+    """Tail backward 1/4: recompute the spliced phase band and the
+    clip-masked cotangent; both leave as bf16 HBM tiles (~19 MB/step at
+    the flagship shape — the scoped-VMEM relief of splitting the adjoint
+    into four slim kernels is worth the ~0.1 ms of extra DMA: the
+    monolithic kernel measured 18.5-23M scoped vs the 16M ceiling)."""
+    i = pl.program_id(1)
+    P = scale * scale
+    cp = P * nf
+
+    band = jnp.concatenate([y_a[0], y_b[0, :2]], axis=0)  # (10, W, nf)
+    rows = band.shape[0]
+
+    # forward recompute to the spliced phase band (bf16 end to end — the
+    # forward kernel casts at dot time, so values are bit-identical)
+    flat = band.reshape(rows * w, nf)
+    h0 = jnp.dot(flat, w0_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision) + b0_ref[:].astype(jnp.float32)
+    h1 = _gelu(h0).astype(band.dtype)
+    if scale == 4:
+        b1f = b1_ref[:].astype(jnp.float32)
+        parts = []
+        for grp in range(4):
+            hg = h1[:, grp * nf:(grp + 1) * nf]
+            og = jnp.dot(hg, w1_ref[:], preferred_element_type=jnp.float32,
+                         precision=precision) + b1f
+            parts.append(_gelu(og).astype(band.dtype))
+        hs2 = jnp.concatenate(parts, axis=-1)
+    else:
+        hs2 = h1
+    mid = hs2.reshape(rows, w, cp)
+
+    ph = jnp.pad(mid, ((0, 0), (1, 1), (0, 0)))
+    # unit-dim inserts happen in f32 and cast AFTER: Mosaic rejects the
+    # bf16 (rows, cp) -> (rows, 1, cp) shape cast at small lane counts
+    lc = lc_ref[0, pl.ds(i * _BLOCK, rows), :][:, None, :] \
+        .astype(band.dtype)
+    rc = rc_ref[0, pl.ds(i * _BLOCK, rows), :][:, None, :] \
+        .astype(band.dtype)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w + 2, 1), 1)
+    ph = jnp.where(col_ids == 0, lc, ph)
+    ph = jnp.where(col_ids == w + 1, rc, ph)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    ph = jnp.where((i == 0) & (row_ids == 0),
+                   top_ref[0, 0][None].astype(band.dtype), ph)
+    ph = jnp.where((i == nh - 1) & (row_ids == rows - 1),
+                   bot_ref[0, 0][None].astype(band.dtype), ph)
+    ph_ref[0, 0] = ph
+
+    acc = jnp.zeros((_BLOCK * w, P * 3), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            win = ph[dr:dr + _BLOCK, dc:dc + w].reshape(_BLOCK * w, cp)
+            acc = acc + jnp.dot(win, k_ref[dr, dc],
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+
+    # clip adjoint (jnp.clip vjp semantics: pass on min <= x <= max)
+    g_band = g_ref[0].reshape(_BLOCK * w, P * 3).astype(jnp.float32)
+    mask = ((acc >= 0.0) & (acc <= rgb_range)).astype(jnp.float32)
+    gm_ref[0] = (g_band * mask).astype(gm_ref.dtype).reshape(
+        _BLOCK, w, P * 3)
+
+
+def _bwd_dk_kernel(ph_ref, gm_ref, dk_ref, *, nf: int, scale: int,
+                   w: int, precision):
+    """Tail backward 2/4: dK[tap] += win^T @ gm over the band grid."""
+    P = scale * scale
+    cp = P * nf
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ph = ph_ref[0, 0]
+    gm = gm_ref[0].reshape(_BLOCK * w, P * 3)
+    first = (b == 0) & (i == 0)
+    for dr in range(3):
+        for dc in range(3):
+            win = ph[dr:dr + _BLOCK, dc:dc + w].reshape(_BLOCK * w, cp)
+            dk_c = jax.lax.dot_general(
+                win, gm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+            @pl.when(first)
+            def _(dr=dr, dc=dc, dk_c=dk_c):
+                dk_ref[dr, dc] = dk_c.astype(dk_ref.dtype)
+
+            @pl.when(jnp.logical_not(first))
+            def _(dr=dr, dc=dc, dk_c=dk_c):
+                dk_ref[dr, dc] = dk_ref[dr, dc] + dk_c.astype(dk_ref.dtype)
+
+
+def _bwd_dph_kernel(gm_ref, k_ref, dph_ref, *, nf: int, scale: int,
+                    w: int, precision):
+    """Tail backward 3/4: dph[R, C] = sum_taps gm[R-dr, C-dc] @
+    K[dr,dc]^T — nine small-lane dots accumulated in 8/2-row chunks
+    (sublane-tile-aligned stores)."""
+    P = scale * scale
+    cp = P * nf
+    rows = _BLOCK + 2
+    gm3 = gm_ref[0].astype(jnp.float32)
+    g_pad = jnp.pad(gm3, ((2, 2), (2, 2), (0, 0)))
+    for r0, rn in ((0, _BLOCK), (_BLOCK, rows - _BLOCK)):
+        part = jnp.zeros((rn * (w + 2), cp), jnp.float32)
+        for dr in range(3):
+            for dc in range(3):
+                gs = g_pad[2 - dr + r0:2 - dr + r0 + rn,
+                           2 - dc:2 - dc + w + 2]
+                gs = gs.reshape(rn * (w + 2), P * 3).astype(jnp.bfloat16)
+                part = part + jax.lax.dot_general(
+                    gs, k_ref[dr, dc], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+        dph_ref[0, 0, r0:r0 + rn] = part.reshape(
+            rn, w + 2, cp).astype(dph_ref.dtype)
+
+
+def _bwd_stage_kernel(y_a, y_b, dmid_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+                      dy_ref, dw0_ref, db0_ref, dw1_ref, db1_ref, *,
+                      nf: int, scale: int, nh: int, w: int, precision):
+    """Stage 2 of the tail backward: stage-pipeline adjoints from the
+    masked interior dmid band to dy and the stage weight grads."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    P = scale * scale
+    cp = P * nf
+
+    band = jnp.concatenate([y_a[0], y_b[0, :2]], axis=0)
+    rows = band.shape[0]
+    flat = band.reshape(rows * w, nf)
+    h0 = jnp.dot(flat, w0_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision) + b0_ref[:].astype(jnp.float32)
+    h1 = _gelu(h0).astype(band.dtype)
+
+    dh2 = dmid_ref[0, 0].reshape(rows * w, cp).astype(jnp.float32)
+    first = (b == 0) & (i == 0)
+    if scale == 4:
+        dh1_parts = []
+        for grp in range(4):
+            hg = h1[:, grp * nf:(grp + 1) * nf]
+            og = jnp.dot(hg, w1_ref[:], preferred_element_type=jnp.float32,
+                         precision=precision) \
+                + b1_ref[:].astype(jnp.float32)
+            dog = (dh2[:, grp * cp // 4:(grp + 1) * cp // 4]
+                   * _gelu_grad(og)).astype(band.dtype)
+            dh1_parts.append(jax.lax.dot_general(
+                dog, w1_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision))
+            dw1_c = jax.lax.dot_general(
+                hg, dog, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            db1_c = jnp.sum(dog.astype(jnp.float32), axis=0)[None]
+
+            if grp == 0:
+                @pl.when(first)
+                def _(dw1_c=dw1_c, db1_c=db1_c):
+                    dw1_ref[:] = dw1_c.astype(dw1_ref.dtype)
+                    db1_ref[:] = db1_c.astype(db1_ref.dtype)
+
+                @pl.when(jnp.logical_not(first))
+                def _(dw1_c=dw1_c, db1_c=db1_c):
+                    dw1_ref[:] = dw1_ref[:] + dw1_c.astype(dw1_ref.dtype)
+                    db1_ref[:] = db1_ref[:] + db1_c.astype(db1_ref.dtype)
+            else:
+                dw1_ref[:] = dw1_ref[:] + dw1_c.astype(dw1_ref.dtype)
+                db1_ref[:] = db1_ref[:] + db1_c.astype(db1_ref.dtype)
+        dh1 = jnp.concatenate(dh1_parts, axis=-1)
+    else:
+        dh1 = dh2
+
+        @pl.when(first)
+        def _():
+            dw1_ref[:] = jnp.zeros_like(dw1_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    dh0 = (dh1 * _gelu_grad(h0)).astype(band.dtype)
+    dflat = jax.lax.dot_general(
+        dh0, w0_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    dw0_c = jax.lax.dot_general(
+        flat, dh0, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    db0_c = jnp.sum(dh0.astype(jnp.float32), axis=0)[None]
+
+    @pl.when(first)
+    def _():
+        dw0_ref[:] = dw0_c.astype(dw0_ref.dtype)
+        db0_ref[:] = db0_c.astype(db0_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw0_ref[:] = dw0_ref[:] + dw0_c.astype(dw0_ref.dtype)
+        db0_ref[:] = db0_ref[:] + db0_c.astype(db0_ref.dtype)
+
+    dy_ref[0, 0] = dflat.reshape(rows, w, nf).astype(dy_ref.dtype)
+
+
+def tail_band_bwd_fused(y, g_ps, w0, b0, w1, b1, k, lc, rc, top, bot, *,
+                        scale: int, rgb_range: float, interpret: bool,
+                        precision=None):
+    """Runs the two-stage tail backward (conv adjoint -> HBM dph tiles ->
+    stage adjoint; see _bwd_conv_kernel/_bwd_stage_kernel). Returns (dy,
+    dw0, db0, dw1, db1, dK, dlc, drc, dtop, dbot) with dy folded to
+    (B, H, W, nf) and dlc/drc folded to the (B, (nh+1)*8, cp)
+    edge-buffer layout."""
+    bsz, hh, w, nf = y.shape
+    nh = hh // _BLOCK
+    P = scale * scale
+    cp = P * nf
+    rows = _BLOCK + 2
+
+    yp = jnp.pad(y, ((0, 0), (1, 0), (0, 0), (0, 0)), mode="edge")
+    yp = jnp.pad(yp, ((0, 0), (0, (nh + 2) * _BLOCK - yp.shape[1]),
+                      (0, 0), (0, 0)), mode="edge")
+
+    band = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, _BLOCK, w, nf), lambda b, i, o=off: (b, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: (b,) + (0,) * (len(shp) - 1),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i: tuple(0 for _ in shp), memory_space=pltpu.VMEM)
+
+    # ---- 1/4: recompute (ph tiles + clip-masked cotangent) ----
+    kern1 = functools.partial(_bwd_recompute_kernel, nf=nf, scale=scale,
+                              nh=nh, w=w, rgb_range=rgb_range,
+                              precision=precision)
+    ph_t, gm_t = pl.pallas_call(
+        kern1,
+        grid=(bsz, nh),
+        in_specs=[
+            band(0), band(1),
+            pl.BlockSpec((1, _BLOCK, w, P * 3), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((1, (nh + 1) * _BLOCK, cp)),
+            full((1, (nh + 1) * _BLOCK, cp)),
+            full((1, 1, w + 2, cp)), full((1, 1, w + 2, cp)),
+            const(w0.shape), const(b0.shape),
+            const(w1.shape), const(b1.shape), const(k.shape),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rows, w + 2, cp),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK, w, P * 3),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nh, rows, w + 2, cp), y.dtype),
+            jax.ShapeDtypeStruct((bsz, hh, w, P * 3), y.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * bsz * hh * w
+                      * (nf * cp * (2 if scale == 4 else 1)
+                         + 9 * cp * P * 3)),
+            bytes_accessed=int(2 * y.size
+                               + 2 * bsz * nh * rows * (w + 2) * cp),
+            transcendentals=int(bsz * hh * w * cp)),
+        interpret=interpret,
+    )(yp, yp, g_ps, lc, rc, top, bot, w0, b0, w1, b1, k)
+
+    # ---- 2/4: dK accumulation ----
+    kern2 = functools.partial(_bwd_dk_kernel, nf=nf, scale=scale, w=w,
+                              precision=precision)
+    dk = pl.pallas_call(
+        kern2,
+        grid=(bsz, nh),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, w + 2, cp),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK, w, P * 3),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=const(k.shape),
+        out_shape=jax.ShapeDtypeStruct(k.shape, jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * bsz * hh * w * 9 * cp * P * 3),
+            bytes_accessed=int(2 * bsz * nh * rows * (w + 2) * cp),
+            transcendentals=0),
+        interpret=interpret,
+    )(ph_t, gm_t)
+
+    # ---- 3/4: dph tiles ----
+    kern3 = functools.partial(_bwd_dph_kernel, nf=nf, scale=scale, w=w,
+                              precision=precision)
+    dph_ext = pl.pallas_call(
+        kern3,
+        grid=(bsz, nh),
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK, w, P * 3),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(k.shape),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows, w + 2, cp),
+                               lambda b, i: (b, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, nh, rows, w + 2, cp),
+                                       y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * bsz * nh * rows * (w + 2) * 9 * cp * P * 3),
+            bytes_accessed=int(4 * bsz * nh * rows * (w + 2) * cp),
+            transcendentals=0),
+        interpret=interpret,
+    )(gm_t, k)
+
+    # ---- XLA glue: edge grads + interior mask ----
+    row_ids = jnp.arange(rows)
+    i_ids = jnp.arange(nh)
+    top_row = (i_ids[:, None] == 0) & (row_ids[None, :] == 0)
+    bot_row = ((i_ids[:, None] == nh - 1)
+               & (row_ids[None, :] == rows - 1))
+    edge_row = (top_row | bot_row)[None, :, :, None]
+
+    dph_ext = dph_ext.astype(jnp.float32)
+    dtop = dph_ext[:, 0, 0][:, None]                 # (B, 1, w+2, cp)
+    dbot = dph_ext[:, nh - 1, rows - 1][:, None]
+    keep = (~edge_row).astype(dph_ext.dtype)
+    dlc_ext = dph_ext[:, :, :, 0] * keep             # (B, nh, rows, cp)
+    drc_ext = dph_ext[:, :, :, w + 1] * keep
+    dmid = dph_ext[:, :, :, 1:w + 1] * keep[..., None]
+
+    # ---- stage 2: stage-pipeline adjoint ----
+    kern2 = functools.partial(_bwd_stage_kernel, nf=nf, scale=scale,
+                              nh=nh, w=w, precision=precision)
+    outs2 = pl.pallas_call(
+        kern2,
+        grid=(bsz, nh),
+        in_specs=[
+            band(0), band(1),
+            pl.BlockSpec((1, 1, rows, w, cp),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(w0.shape), const(b0.shape),
+            const(w1.shape), const(b1.shape),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rows, w, nf),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(w0.shape), const((1, b0.shape[-1])),
+            const(w1.shape), const((1, b1.shape[-1])),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nh, rows, w, nf), jnp.float32),
+            jax.ShapeDtypeStruct(w0.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, b0.shape[-1]), jnp.float32),
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, b1.shape[-1]), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * bsz * hh * w * nf * cp
+                      * (2 if scale == 4 else 1)),
+            bytes_accessed=int(2 * y.size
+                               + 2 * bsz * nh * rows * w * cp),
+            transcendentals=int(bsz * hh * w * cp)),
+        interpret=interpret,
+    )(yp, yp, dmid.astype(y.dtype), w0, b0, w1, b1)
+    dy_ext, dw0, db0, dw1, db1 = outs2
+
+    def fold(ext):
+        # ext (B, nh, rows, ...) covering padded rows i*8..i*8+9
+        main = ext[:, :, :_BLOCK].reshape((bsz, nh * _BLOCK)
+                                          + ext.shape[3:])
+        tail = jnp.pad(ext[:, :, _BLOCK:],
+                       ((0, 0), (0, 0), (0, _BLOCK - 2)) +
+                       ((0, 0),) * (ext.ndim - 3))
+        tail = tail.reshape((bsz, nh * _BLOCK) + ext.shape[3:])
+        pad_main = ((0, 0), (0, _BLOCK)) + ((0, 0),) * (ext.ndim - 3)
+        pad_tail = ((0, 0), (_BLOCK, 0)) + ((0, 0),) * (ext.ndim - 3)
+        return jnp.pad(main, pad_main) + jnp.pad(tail, pad_tail)
+
+    acc_yp = fold(dy_ext)                      # (B, (nh+1)*8, w, nf)
+    dy = acc_yp[:, 1:hh + 1]
+    dy = dy.at[:, 0].add(acc_yp[:, 0])         # top edge-pad adjoint
+    dy = dy.at[:, hh - 1].add(acc_yp[:, hh + 1])  # bottom edge copies
+
+    dlc = fold(dlc_ext)                        # (B, (nh+1)*8, cp)
+    drc = fold(drc_ext)
+    return (dy, dw0, db0[0], dw1, db1[0], dk, dlc, drc, dtop, dbot)
+
+
+def _ps_adjoint(y, r):
+    """Adjoint (= inverse) of pixel_shuffle_fast: (B, H*r, W*r, c) ->
+    (B, H, W, r*r*c) in (r_i, r_j, c) channel order."""
+    bsz, hr, wr, c = y.shape
+    h, w = hr // r, wr // r
+    y = y.reshape(bsz, h, r, w, r * c)
+    y = y.transpose(0, 1, 3, 2, 4)
+    return y.reshape(bsz, h, w, r * r * c)
+
+
+def tail_bwd_vmem_bytes(w: int, nf: int, scale: int) -> float:
+    """Peak per-kernel VMEM of the four-kernel tail backward — the max of
+    the recompute kernel (stage pipeline + spliced band + double-buffered
+    bf16 ph out) and the dph kernel (8-row f32 chunk accumulator + dot
+    result + double-buffered bf16 out)."""
+    P = scale * scale
+    cp = P * nf
+    rows = _BLOCK + 2
+    band_px = rows * (w + 2)
+    c1 = 4 * nf if scale == 4 else cp
+    recompute = (4 * rows * w * c1        # h0 f32
+                 + 2 * rows * w * c1      # h1 bf16
+                 + 2 * 2 * rows * w * cp  # mid + ph bf16
+                 + 2 * _BLOCK * w * cp    # window view bf16
+                 + 2 * 2 * band_px * cp)  # ph out, double-buffered
+    chunk_px = _BLOCK * (w + 2)
+    dph = (2 * 4 * chunk_px * cp          # chunk accumulator + result
+           + 2 * 2 * band_px * cp         # dph out, double-buffered
+           + 4 * 9 * cp * P * 3)          # K const (f32-ish bound)
+    return max(recompute, dph)
+
+
+def _tail_bwd_fits(h: int, w: int, scale: int, nf: int) -> bool:
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    limit = gate_profile().get("tail_bwd_limit", 0.0)
+    return (h % _BLOCK == 0 and w % _BLOCK == 0
+            and tail_bwd_vmem_bytes(w, nf, scale) <= limit)

@@ -64,3 +64,46 @@ def test_band_tail_gradients_match_phase(rng):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=5e-3, rtol=5e-2)
+
+
+@pytest.mark.parametrize("scale,hw", [(4, 32), (2, 24), (3, 24)])
+def test_tail_band_bwd_kernel_matches_xla_vjp(scale, hw, monkeypatch):
+    """The Pallas tail backward (in-VMEM recompute + conv transpose +
+    edge-splice adjoints + stage transposes) must match the XLA vjp of
+    the clipped phase composition for every scale — all parameter grads
+    (through the tail_phase_weights / phase_edges vjps) and dx (through
+    the row overlap-add + edge-pad adjoints)."""
+    import m2trans_tpu.ops.pallas.tail_band as tb
+    from m2trans_tpu.config import Config
+    from m2trans_tpu.models import init_m2trans
+    from m2trans_tpu.ops.tail_phase import tail_phase_apply
+
+    cfg = Config(scale=scale, n_feats=16, n_blocks=1)
+    p = init_m2trans(jax.random.PRNGKey(0), cfg)["tail"]
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (2, hw, hw, 16)).astype(np.float32))
+
+    def f_pallas(pp, xx):
+        out = tb.tail_band_apply(pp, xx.astype(jnp.bfloat16), scale=scale,
+                                 rgb_range=1.0, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def f_xla(pp, xx):
+        y = tail_phase_apply(pp, xx.astype(jnp.bfloat16), scale=scale)
+        return jnp.sum(jnp.clip(y, 0.0, 1.0).astype(jnp.float32) ** 2)
+
+    monkeypatch.setattr(tb, "_tail_bwd_fits", lambda *a: True)
+    gp = jax.grad(f_pallas, argnums=(0, 1))(p, x)
+    gx = jax.grad(f_xla, argnums=(0, 1))(p, x)
+
+    dxp = np.asarray(gp[1], np.float32)
+    dxx = np.asarray(gx[1], np.float32)
+    np.testing.assert_allclose(
+        dxp, dxx, atol=max(2e-3, 2e-2 * float(np.abs(dxx).max())))
+    for kk in gp[0]:
+        for sub in gp[0][kk]:
+            a = np.asarray(gp[0][kk][sub], np.float32)
+            b = np.asarray(gx[0][kk][sub], np.float32)
+            tol = max(2e-3, 2e-2 * float(np.abs(b).max()))
+            np.testing.assert_allclose(a, b, atol=tol,
+                                       err_msg=f"{kk}.{sub}")
