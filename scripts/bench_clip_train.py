@@ -92,7 +92,10 @@ def main():
     # <sr, stop_grad(g_clip)>. A+B serial == the monolithic step's math.
     from m2trans_tpu.models import m2trans_apply, policy_from_config
 
-    policy = policy_from_config(cfg)
+    policy = policy_from_config(cfg)           # inference: fwd_only
+    # the differentiable model step needs the training policy (the
+    # whole-CFTM packed-body flow is forward-only; its cores carry no vjp)
+    policy_tr = policy_from_config(cfg, for_training=True)
     lam = 0.01
 
     @jax.jit
@@ -115,7 +118,7 @@ def main():
     @_partial(jax.jit, donate_argnums=(0, 1))
     def model_step(p, opt_state, lr, hr, g_clip, key):
         def loss_fn(pp):
-            sr = m2trans_apply(pp, lr, cfg, policy=policy)
+            sr = m2trans_apply(pp, lr, cfg, policy=policy_tr)
             l1 = jnp.mean(jnp.abs(sr.astype(jnp.float32)
                                   - hr.astype(jnp.float32)))
             inj = jnp.sum(sr.astype(jnp.float32)
