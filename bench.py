@@ -22,6 +22,14 @@ baseline is a documented FLOPs-derived estimate of the reference on an
 RTX 3090-class GPU: windowed-attention SR models of this size typically run
 a few hundred 96->384 frames/s; we take a favorable 300 frames/s
 (44.2 output MP/s). The north-star target is >=10x that per chip.
+
+Uncertainty of that denominator (VERDICT r2 #6): bounded, not a point.
+At 5.87 GFLOPs/384^2 frame (BASELINE.md Table I), a 3090's 71 TFLOP/s
+fp16 peak allows <=12,000 frames/s at 100% MFU; real eager PyTorch SR
+transformers with small-channel windowed attention land at 1-5% MFU,
+i.e. 120-600 frames/s (18-88 output MP/s). The 44.2 MP/s point sits
+mid-range; the reported vs_baseline is therefore good to roughly 2x in
+either direction, and every number in BENCH_r*.json inherits that band.
 """
 
 from __future__ import annotations
