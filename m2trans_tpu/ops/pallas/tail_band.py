@@ -77,8 +77,8 @@ def _gelu(x):
 
 
 def _kernel(y_a, y_b, lc_ref, rc_ref, top_ref, bot_ref, w0_ref, b0_ref,
-            w1_ref, b1_ref, k_ref, kall_ref, out_ref, *, nf: int,
-            scale: int, nh: int, w: int, rgb_range: float, precision):
+            w1_ref, b1_ref, k_ref, out_ref, *, nf: int, scale: int,
+            nh: int, w: int, rgb_range: float, precision):
     i = pl.program_id(1)
     P = scale * scale
     cp = P * nf
@@ -121,21 +121,16 @@ def _kernel(y_a, y_b, lc_ref, rc_ref, top_ref, bot_ref, w0_ref, b0_ref,
     ph = jnp.where((i == nh - 1) & (row_ids == rows - 1),
                    bot_ref[0, 0][None], ph)
 
-    # 3x3 phase-space conv as ONE 9-tap-batched dot: the per-tap dots
-    # emit only P*3 = 48 output lanes (<= 37% MXU fill); batching the
-    # taps on the output axis (cp, 9*48) fills 432 lanes, then nine
-    # shifted 48-lane adds assemble the VALID conv. The extra halo-row
-    # MACs (rows 10/8) are cheaper than the lane-fill loss they replace.
-    q_all = jnp.dot(ph.reshape(rows * (w + 2), cp).astype(band.dtype),
-                    kall_ref[:], preferred_element_type=jnp.float32,
-                    precision=precision).reshape(rows, w + 2, 9 * P * 3)
-    acc = jnp.zeros((_BLOCK, w, P * 3), jnp.float32)
-    for t, (dr, dc) in enumerate((dr, dc) for dr in range(3)
-                                 for dc in range(3)):
-        acc = acc + q_all[dr:dr + _BLOCK, dc:dc + w,
-                          t * P * 3:(t + 1) * P * 3]
+    # 3x3 phase-space conv, VALID over the (10, W+2) band -> (8, W)
+    acc = jnp.zeros((_BLOCK * w, P * 3), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            win = ph[dr:dr + _BLOCK, dc:dc + w].reshape(_BLOCK * w, cp)
+            acc = acc + jnp.dot(win.astype(band.dtype), k_ref[dr, dc],
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
     out = jnp.clip(acc, 0.0, rgb_range)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = out.reshape(_BLOCK, w, P * 3).astype(out_ref.dtype)
 
 
 def tail_band_fused(y, w0, b0, w1, b1, k, lc, rc, top, bot, *, scale: int,
@@ -178,7 +173,7 @@ def tail_band_fused(y, w0, b0, w1, b1, k, lc, rc, top, bot, *, scale: int,
             full((1, 1, w + 2, cp)),               # bottom remapped row
             const(w0.shape), const(b0.shape),
             const(w1.shape), const(b1.shape),
-            const(k.shape), const((cp, 9 * P * 3)),
+            const(k.shape),
         ],
         out_specs=pl.BlockSpec((1, _BLOCK, w, P * 3),
                                lambda b, i: (b, i, 0, 0),
@@ -190,8 +185,7 @@ def tail_band_fused(y, w0, b0, w1, b1, k, lc, rc, top, bot, *, scale: int,
             bytes_accessed=int(2 * (y.size + bsz * hh * w * P * 3)),
             transcendentals=int(bsz * hh * w * cp)),
         interpret=interpret,
-    )(yp, yp, lc, rc, top, bot, w0, b0, w1, b1, k,
-      k.transpose(2, 0, 1, 3).reshape(cp, 9 * P * 3))
+    )(yp, yp, lc, rc, top, bot, w0, b0, w1, b1, k)
 
 
 def _is_tpu_backend() -> bool:
