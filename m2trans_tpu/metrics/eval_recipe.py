@@ -26,6 +26,13 @@ def sr_eval_metrics(
     rgb_range: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
     """PSNR/SSIM of an SR/HR pair (NHWC, [0, rgb_range])."""
+    # metrics ALWAYS run in f32: a bf16 SR tensor fed through the
+    # ycbcr/x255 chain loses ~17 dB PSNR to quantization of the
+    # intermediate values (observed 38.7 -> 21.6 on a smooth pair), and
+    # SSIM's windowed variances go unstable — the speed mode's outputs
+    # must be promoted before any metric arithmetic
+    sr = sr.astype(jnp.float32)
+    hr = hr.astype(jnp.float32)
     if colors == 3:
         sr_y = rgb_to_ycbcr(sr)[..., 0:1]
         hr_y = rgb_to_ycbcr(hr)[..., 0:1]

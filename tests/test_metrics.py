@@ -135,3 +135,30 @@ def test_fsim_downsample_path(rng):
     x = rng.uniform(0, 1, (1, 384, 384, 3)).astype(np.float32)
     s = float(fsim(jnp.asarray(x), jnp.asarray(x))[0])
     assert abs(s - 1.0) < 1e-3
+
+
+def test_eval_metrics_bf16_inputs_promoted():
+    """sr_eval_metrics must promote bf16 SR tensors before any metric
+    arithmetic: feeding the speed mode's bf16 output through the
+    ycbcr/x255 chain unpromoted lost ~17 dB PSNR (38.7 -> 21.6 observed)
+    and destabilized SSIM's windowed variances."""
+    from m2trans_tpu.metrics.eval_recipe import sr_eval_metrics
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 1, (1, 48, 48, 3)).astype(np.float32)
+    # smooth so quantization, not content, dominates any delta
+    k = np.ones((5, 5)) / 25.0
+    hr = np.stack([np.convolve(base[0, :, :, c].ravel(), k.ravel(),
+                               "same").reshape(48, 48)
+                   for c in range(3)], -1)[None].astype(np.float32)
+    sr = np.clip(hr + rng.normal(0, 0.02, hr.shape), 0, 1) \
+        .astype(np.float32)
+
+    m32 = sr_eval_metrics(jnp.asarray(sr), jnp.asarray(hr), scale=2,
+                          colors=3, rgb_range=1.0)
+    m16 = sr_eval_metrics(jnp.asarray(sr).astype(jnp.bfloat16),
+                          jnp.asarray(hr), scale=2, colors=3,
+                          rgb_range=1.0)
+    assert abs(float(m32["psnr"]) - float(m16["psnr"])) < 0.1
+    assert abs(float(m32["ssim"]) - float(m16["ssim"])) < 0.005
+    assert -1.0 <= float(m16["ssim"]) <= 1.0
