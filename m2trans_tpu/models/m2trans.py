@@ -303,10 +303,18 @@ def _packed_body_ok(bsz: int, h: int, w: int, cb: int, block: int,
         pick_packed_front,
     )
 
+    from m2trans_tpu.ops.pallas.halo_attn_packed import pick_packed_tiled
+
     if cb * 8 != 128 or bsz % 8 or h % (block * 4) or w % (block * 4):
         return False
-    if not (pick_pack_g(bsz, w, cb, 0, block, halo) == 8
-            and pick_pack_g(bsz, w, cb, 1, block, halo) == 4):
+
+    def l_ok(levels, want_g):
+        if pick_pack_g(bsz, w, cb, levels, block, halo) == want_g:
+            return True
+        gs = pick_packed_tiled(bsz, w, cb, levels, block, halo)
+        return gs is not None and gs[0] == want_g
+
+    if not (l_ok(0, 8) and l_ok(1, 4)):
         return False
     if pick_packed_front(bsz, w, cb, 2, block, halo) is not None:
         return True
@@ -388,11 +396,29 @@ def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
               interpret=not _is_tpu_backend(),
               precision=policy.precision)
 
+    from m2trans_tpu.ops.pallas.halo_attn_packed import (
+        packed_cascade_tiled,
+        pick_pack_g,
+        pick_packed_tiled,
+    )
+
+    def run_packed(xk, sk, tk, name, levels, want_g):
+        # full-width where its VMEM budget admits; column slabs of the
+        # verified width otherwise (robust AND as fast — the wide
+        # full-width kernels are scoped-VMEM-marginal)
+        args = (xk, None, sk, tk, wq(name, levels),
+                p[name]["rel_h"], p[name]["rel_w"])
+        if pick_pack_g(bsz, x.shape[2], cb, levels, block,
+                       halo) == want_g:
+            return packed_cascade_core(*args, levels=levels, g=want_g,
+                                       **kw)
+        gs = pick_packed_tiled(bsz, x.shape[2], cb, levels, block, halo)
+        return packed_cascade_tiled(*args, levels=levels, g=gs[0],
+                                    slab=gs[1], **kw)
+
     # branch 1: L=0, full-pack g=8
     s1, t1 = st_packed(0)
-    o1 = packed_cascade_core(block_k(0), None, s1, t1, wq("attn1", 0),
-                             p["attn1"]["rel_h"], p["attn1"]["rel_w"],
-                             levels=0, g=8, **kw)
+    o1 = run_packed(block_k(0), s1, t1, "attn1", 0, 8)
 
     # branch 2: L=1, full-pack g=4 — the (bp, .., 128) block is two
     # g=4 packs on lane halves; restack halves onto the batch axis
@@ -401,9 +427,7 @@ def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
     x2h = jnp.concatenate([x2[..., :64], x2[..., 64:]], axis=0)
     s2h = jnp.concatenate([s2[:, :64], s2[:, 64:]], axis=0)
     t2h = jnp.concatenate([t2[:, :64], t2[:, 64:]], axis=0)
-    o2h = packed_cascade_core(x2h, None, s2h, t2h, wq("attn2", 1),
-                              p["attn2"]["rel_h"], p["attn2"]["rel_w"],
-                              levels=1, g=4, **kw)
+    o2h = run_packed(x2h, s2h, t2h, "attn2", 1, 4)
     o2 = jnp.concatenate([o2h[:bp], o2h[bp:]], axis=-1)
 
     # branches 3, 4: L=2 — packed-front g=8 where its VMEM gate admits
@@ -411,11 +435,29 @@ def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
     # banded/tiled fused dispatch -> repack (×2/×3 body widths)
     pf = pick_packed_front(bsz, x.shape[2], cb, 2, block, halo)
 
+    from m2trans_tpu.ops.pallas.halo_attn_packed import (
+        packed_front_tiled,
+        pick_packed_front_tiled,
+    )
+
+    pft = (None if pf is not None
+           else pick_packed_front_tiled(bsz, x.shape[2], cb, 2, block,
+                                        halo))
+
     def branch_l2(name, xk, sk, tk):
         if pf is not None:
             return packed_front_core(xk, None, sk, tk, wq(name, 2),
                                      p[name]["rel_h"], p[name]["rel_w"],
                                      levels=2, g=8, sub=pf[1], **kw)
+        if pft is not None:
+            # column-slab packed-front: the full-width kernel's VMEM gate
+            # rejects the x2/x3 body widths; slabs of the verified width
+            # keep the packed full-res stages (the L=2 cost is dominated
+            # by 16-lane full-res work in the unpacked fallbacks)
+            return packed_front_tiled(xk, None, sk, tk, wq(name, 2),
+                                      p[name]["rel_h"], p[name]["rel_w"],
+                                      levels=2, g=pft[0], sub=pft[1],
+                                      slab=pft[2], **kw)
         from m2trans_tpu.ops.pallas.halo_attn import cftm_branch_fused
         from m2trans_tpu.ops.pallas.halo_attn_packed import (
             pack_batch,

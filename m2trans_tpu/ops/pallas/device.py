@@ -44,7 +44,13 @@ _V5E = {
     # the g*C<=256 rule also excludes it).
     # L=2 packing: W=96 g=2 measured slower than banded (13.4 vs 4.4 ms
     # chain) and W=192 g=2 OOMs scoped VMEM (19.05M > 16M) -> no budget.
-    "packed_budget": {0: 36e6, 1: 27e6},
+    # r3-final recalibration: the W=192 full-width kernels are scoped-
+    # VMEM-MARGINAL (L=1 g=4 est 26.5M measured 16.19M vs the 16M
+    # ceiling, tipping over program-dependently), and column slabs of
+    # the verified W<=128 shapes are robust AND as fast or faster; the
+    # budgets now admit only the comfortably-fitting widths and
+    # pick_packed_tiled slabs the rest.
+    "packed_budget": {0: 20e6, 1: 20e6},
     # Packed-FRONT cascade (packed full-res affine/DWT/IWT, per-subgroup
     # native-C attention; halo_attn_packed.packed_front_cascade_impl) —
     # the L=2 answer where full packing thrashes (G*C=512 lanes). v5e

@@ -1420,9 +1420,11 @@ def _make_cascade_fused(has_add: bool):
                   r, interpret, precision, conservative=False):
         from m2trans_tpu.ops.pallas.halo_attn_packed import (
             packed_cascade_impl,
+            packed_cascade_tiled_impl,
             packed_front_cascade_impl,
             pick_pack_g,
             pick_packed_front,
+            pick_packed_tiled,
         )
 
         g = pick_pack_g(x.shape[0], x.shape[2], x.shape[-1], levels,
@@ -1432,6 +1434,13 @@ def _make_cascade_fused(has_add: bool):
                 x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
                 halo=halo, levels=levels, g=g, r=r, interpret=interpret,
                 precision=precision)
+        gs = pick_packed_tiled(x.shape[0], x.shape[2], x.shape[-1],
+                               levels, block, halo)
+        if gs is not None:
+            return packed_cascade_tiled_impl(
+                x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
+                halo=halo, levels=levels, g=gs[0], slab=gs[1], r=r,
+                interpret=interpret, precision=precision)
         # The packed-front kernel sits within ~1 MB of the 16 MB scoped-
         # VMEM ceiling and the effective limit varies with the SURROUNDING
         # program (observed: the same kernel compiles in the plain forward

@@ -234,7 +234,7 @@ def _packed_band_body(z, scratch, wp_ref, relh_ref, relw_ref, *,
 
 def _packed_cascade_kernel(*refs, block: int, halo: int, wc: int,
                            levels: int, g: int, precision, h: int, w: int,
-                           r: float, has_add: bool):
+                           r: float, has_add: bool, col_off: int = 0):
     """Packed banded cascade: affine (IN-apply) + masked zero-pad +
     optional cascade add in, attention, residual out — one packed image
     group per (batch-group, row-band) grid step."""
@@ -256,12 +256,16 @@ def _packed_cascade_kernel(*refs, block: int, halo: int, wc: int,
     tv = t_ref[pl.ds(b, 1), :]
     # the band views carry a leading block dim of 1 == the affine's group
     z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
-                     halo=halo, levels=levels, r=r)[0].astype(jnp.float32)
+                     halo=halo, levels=levels, r=r,
+                     col_off=col_off)[0].astype(jnp.float32)
     out = _packed_band_body(z, scratch, wp_ref, relh_ref, relw_ref,
                             block=block, halo=halo, wc=wc, levels=levels,
                             g=g, precision=precision)
     blk_full = block * sf
-    res = z[halo * sf: halo * sf + blk_full, halo * sf: halo * sf + w, :]
+    hs = halo * sf
+    # slice by the COMPUTE width (wc*sf == slab width in column-slab
+    # mode); ``w`` is the global frame width for the interior mask only
+    res = z[hs: hs + blk_full, hs: hs + wc * sf, :]
     out_ref[0] = (out + res).astype(out_ref.dtype)
 
 
@@ -315,7 +319,20 @@ def packed_vmem_bytes(w, cb, g, block, halo, levels):
     return total
 
 
-_PACK_ROWS = 8  # rows per pack-kernel grid step (VMEM: G x rows x W x 128)
+_PACK_ROWS = 8  # max rows per pack-kernel grid step
+
+
+def _pack_rows(h: int, w: int, gcb: int) -> int:
+    """Rows per pack/unpack grid step: the kernel's footprint is
+    ~16*rows*w*gcb bytes (double-buffered bf16 in/out blocks + f32
+    staging); observed 16.43M scoped OOM at rows=8, W=192, gcb=512 —
+    halve rows until comfortably under the ceiling."""
+    import math
+
+    rows = _PACK_ROWS
+    while rows > 1 and 16 * rows * w * gcb > 12e6:
+        rows //= 2
+    return math.gcd(h, rows)
 
 
 def _pack_kernel(x_ref, out_ref, *, g):
@@ -362,9 +379,7 @@ def pack_batch(x, g, interpret=None):
         return x
     if interpret is None:
         interpret = not _is_tpu_backend()
-    import math
-
-    rows = math.gcd(h, _PACK_ROWS)
+    rows = _pack_rows(h, w, g * x.shape[-1])
     return pl.pallas_call(
         functools.partial(_pack_kernel, g=g),
         grid=(b // g, h // rows),
@@ -389,9 +404,7 @@ def pack_body(x, g, nb=4, interpret=None):
     b, h, w, c = x.shape
     if interpret is None:
         interpret = not _is_tpu_backend()
-    import math
-
-    rows = math.gcd(h, _PACK_ROWS)
+    rows = _pack_rows(h, w, g * x.shape[-1])
     return pl.pallas_call(
         functools.partial(_pack_body_kernel, g=g, nb=nb),
         grid=(b // g, h // rows),
@@ -411,10 +424,8 @@ def unpack_body(x, g, nb=4, interpret=None):
     bp, h, w, gc = x.shape
     if interpret is None:
         interpret = not _is_tpu_backend()
-    import math
-
     c = gc // g
-    rows = math.gcd(h, _PACK_ROWS)
+    rows = _pack_rows(h, w, gc)
     return pl.pallas_call(
         functools.partial(_unpack_body_kernel, g=g, nb=nb),
         grid=(bp, h // rows),
@@ -436,10 +447,8 @@ def unpack_batch(x, g, interpret=None):
         return x
     if interpret is None:
         interpret = not _is_tpu_backend()
-    import math
-
     cb = gcb // g
-    rows = math.gcd(h, _PACK_ROWS)
+    rows = _pack_rows(h, w, gcb)
     return pl.pallas_call(
         functools.partial(_unpack_kernel, g=g),
         grid=(bp, h // rows),
@@ -485,7 +494,8 @@ def _rev4(s: int, digits: int) -> int:
 
 def _packed_front_kernel(*refs, block: int, halo: int, wc: int,
                          levels: int, g: int, sub: int, precision,
-                         h: int, w: int, r: float, has_add: bool):
+                         h: int, w: int, r: float, has_add: bool,
+                         col_off: int = 0):
     from m2trans_tpu.ops.pallas.halo_attn import _attend_batched
 
     if has_add:
@@ -536,7 +546,7 @@ def _packed_front_kernel(*refs, block: int, halo: int, wc: int,
     sv = s_ref[pl.ds(b, 1), :]
     tv = t_ref[pl.ds(b, 1), :]
     z = _affine_band(x[None], x_add, sv, tv, i=i, h=h, w=w, block=block,
-                     halo=halo, levels=levels, r=r)[0]
+                     halo=halo, levels=levels, r=r, col_off=col_off)[0]
 
     # packed DWT pyramid (full-lane strided quad loads per 128-wide
     # subband; strided access must go through f32 refs, never values)
@@ -618,7 +628,9 @@ def _packed_front_kernel(*refs, block: int, halo: int, wc: int,
         cur = nxt
 
     blk_full = block * sf
-    res = z[hs:hs + blk_full, hs:hs + w, :].astype(jnp.float32)
+    # slice by the COMPUTE width (wc*sf == the slab width in column-slab
+    # mode); ``w`` is the global frame width for the interior mask only
+    res = z[hs:hs + blk_full, hs:hs + wc * sf, :].astype(jnp.float32)
     out_ref[0] = (cur[0][:] + res).astype(out_ref.dtype)
 
 
@@ -670,30 +682,43 @@ def packed_front_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
 
 def packed_front_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb, block,
                       halo, levels, g, r, interpret, sub: int = 2,
-                      precision=None):
+                      precision=None, col_off: int = 0,
+                      frame_w=None, ext_cols: bool = False):
     """Packed-front cascade on an ALREADY slot-major-packed input
-    (B/G, H, W, G*cb); returns the PACKED output of the same shape."""
+    (B/G, H, W, G*cb); returns the PACKED output of the same shape.
+
+    Column-slab mode (packed_front_tiled): ``ext_cols=True`` marks the
+    input as carrying halo*2^L REAL neighbor columns on each side (so no
+    zero col-padding here), ``col_off`` is the slab's global first
+    column and ``frame_w`` the global frame width for the interior
+    mask."""
     bp, h, w, gcb = xp.shape
     assert gcb == g * cb
     bsz = bp * g
     sf = 2 ** levels
     c = cb * 4 ** levels
     win = block + 2 * halo
-    wc = w // sf
 
     nh = h // (block * sf)
     blk_full = block * sf
     hs = halo * sf
     pad_bottom = (nh + 1) * blk_full - h - hs
-    pads = ((0, 0), (hs, pad_bottom), (hs, hs), (0, 0))
-    xpp = jnp.pad(xp, pads)
-    wp_full = w + 2 * hs
+    if ext_cols:
+        w_out = w - 2 * hs
+        xpp = jnp.pad(xp, ((0, 0), (hs, pad_bottom), (0, 0), (0, 0)))
+    else:
+        w_out = w
+        xpp = jnp.pad(xp, ((0, 0), (hs, pad_bottom), (hs, hs), (0, 0)))
+    wc = w_out // sf
+    wp_full = w_out + 2 * hs
+    frame_w = w_out if frame_w is None else frame_w
     has_add = ap is not None
 
     kernel = functools.partial(_packed_front_kernel, block=block,
                                halo=halo, wc=wc, levels=levels, g=g,
-                               sub=sub, precision=precision, h=h, w=w,
-                               r=float(r), has_add=has_add)
+                               sub=sub, precision=precision, h=h,
+                               w=frame_w, r=float(r), has_add=has_add,
+                               col_off=col_off)
     band_spec = pl.BlockSpec(
         (1, blk_full, wp_full, gcb), lambda b, i: (b, i, 0, 0),
         memory_space=pltpu.VMEM)
@@ -713,7 +738,11 @@ def packed_front_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb, block,
     operands = [xpp, xpp]
     in_specs = [band_spec, tail_spec]
     if has_add:
-        app = jnp.pad(ap, pads)
+        if ext_cols:
+            app = jnp.pad(ap, ((0, 0), (hs, pad_bottom), (0, 0), (0, 0)))
+        else:
+            app = jnp.pad(ap, ((0, 0), (hs, pad_bottom), (hs, hs),
+                               (0, 0)))
         operands += [app, app]
         in_specs += [band_spec, tail_spec]
     operands += [sp, tp, w_qkv.astype(xp.dtype),
@@ -745,10 +774,10 @@ def packed_front_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb, block,
         kernel,
         grid=(bsz // g, nh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, blk_full, w, gcb),
+        out_specs=pl.BlockSpec((1, blk_full, w_out, gcb),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w, gcb), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w_out, gcb), xp.dtype),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_band * (bsz // g) * nh),
@@ -828,17 +857,19 @@ def packed_cascade_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *, block,
 
 def packed_cascade_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb,
                         block, halo, levels, g, r, interpret,
-                        precision=None):
+                        precision=None, col_off: int = 0, frame_w=None,
+                        ext_cols: bool = False):
     """Packed fused cascade on an ALREADY slot-major-packed input
     (B/G, H, W, G*cb); returns the PACKED output of the same shape
     (callers that hold the whole CFTM body packed skip the per-branch
-    pack/unpack round trips)."""
+    pack/unpack round trips). Column-slab mode: see packed_front_core —
+    ``ext_cols`` marks halo*2^L real overlap columns on the input,
+    ``col_off``/``frame_w`` offset the interior mask."""
     bp, h, w, gcb = xp.shape
     assert gcb == g * cb
     bsz = bp * g
     sf = 2 ** levels
     win = block + 2 * halo
-    wc = w // sf
     gc = g * cb * 4 ** levels
 
     w_p, relh_p, relw_p = pack_branch_weights(
@@ -848,17 +879,25 @@ def packed_cascade_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb,
 
     nh = h // (block * sf)
     blk_full = block * sf
-    pad_bottom = (nh + 1) * blk_full - h - halo * sf
-    pads = ((0, 0), (halo * sf, pad_bottom), (halo * sf, halo * sf),
-            (0, 0))
+    hs = halo * sf
+    pad_bottom = (nh + 1) * blk_full - h - hs
+    if ext_cols:
+        w_out = w - 2 * hs
+        pads = ((0, 0), (hs, pad_bottom), (0, 0), (0, 0))
+    else:
+        w_out = w
+        pads = ((0, 0), (hs, pad_bottom), (hs, hs), (0, 0))
     xpp = jnp.pad(xp, pads)
-    wp_full = w + 2 * halo * sf
+    wc = w_out // sf
+    wp_full = w_out + 2 * hs
+    frame_w = w_out if frame_w is None else frame_w
     has_add = ap is not None
 
     kernel = functools.partial(_packed_cascade_kernel, block=block,
                                halo=halo, wc=wc, levels=levels, g=g,
-                               precision=precision, h=h, w=w, r=float(r),
-                               has_add=has_add)
+                               precision=precision, h=h, w=frame_w,
+                               r=float(r), has_add=has_add,
+                               col_off=col_off)
     band_spec = lambda off: pl.BlockSpec(  # noqa: E731
         (1, blk_full, wp_full, gcb), lambda b, i, o=off: (b, i + o, 0, 0),
         memory_space=pltpu.VMEM)
@@ -885,10 +924,10 @@ def packed_cascade_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb,
         kernel,
         grid=(bsz // g, nh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, blk_full, w, gcb),
+        out_specs=pl.BlockSpec((1, blk_full, w_out, gcb),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w, gcb), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, h, w_out, gcb), xp.dtype),
         scratch_shapes=_packed_scratch_shapes(wp_full, wc, gcb, gc, block,
                                               halo, levels),
         cost_estimate=pl.CostEstimate(
@@ -1533,3 +1572,125 @@ def packed_cascade_bwd_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w,
         dx_add = (r * dz).astype(x_add.dtype)
         return dx, dx_add, ds, dt, dw_qkv, drel_h, drel_w
     return dx, ds, dt, dw_qkv, drel_h, drel_w
+
+
+def pick_packed_front_tiled(bsz: int, w: int, cb: int, levels: int,
+                            block: int = 8, halo: int = 1):
+    """(g, sub, slab) for the COLUMN-SLAB packed-front cascade, or None.
+    For widths where the full-width packed-front exceeds its VMEM budget
+    (x2/x3 L=2 bodies: W=192/128 est 35/23.6M, both observed OOM), run
+    the verified kernel per slab with halo*2^L real overlap columns and
+    the interior mask offset by the slab's global column."""
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    budget = gate_profile().get("packed_front_budget", {}).get(levels)
+    if not budget or 128 % cb:
+        return None
+    g = 128 // cb
+    sf = 2 ** levels
+    blk_full = block * sf
+    if g < 2 or bsz % g or w % blk_full:
+        return None
+    slab = ((w - blk_full) // blk_full) * blk_full  # strictly < w
+    while slab >= blk_full and packed_front_vmem_bytes(
+            slab, cb, g, block, halo, levels) > budget:
+        slab -= blk_full
+    if slab < blk_full:
+        return None
+    return g, 2, slab
+
+
+def packed_front_tiled(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb, block,
+                       halo, levels, g, sub, slab, r, interpret,
+                       precision=None):
+    """Column-slab packed-front cascade on a packed input: slice each
+    slab with halo*2^L REAL neighbor columns (zero at the frame edges),
+    run packed_front_core per slab with the global column offset for the
+    interior mask, and concatenate. Exact vs the full-width kernel — the
+    halo windows never reach past the overlap (same invariant as the
+    tiled cascade kernels)."""
+    bp, h, w, gcb = xp.shape
+    hs = halo * 2 ** levels
+    xe = jnp.pad(xp, ((0, 0), (0, 0), (hs, hs), (0, 0)))
+    ae = (jnp.pad(ap, ((0, 0), (0, 0), (hs, hs), (0, 0)))
+          if ap is not None else None)
+    outs = []
+    for j0 in range(0, w, slab):
+        sl = min(slab, w - j0)
+        xq = xe[:, :, j0:j0 + sl + 2 * hs]
+        aq = ae[:, :, j0:j0 + sl + 2 * hs] if ae is not None else None
+        outs.append(packed_front_core(
+            xq, aq, sp, tp, w_qkv, rel_h, rel_w, cb=cb, block=block,
+            halo=halo, levels=levels, g=g, r=r, interpret=interpret,
+            sub=sub, precision=precision, col_off=j0, frame_w=w,
+            ext_cols=True))
+    return jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+
+
+def pick_packed_tiled(bsz: int, w: int, cb: int, levels: int,
+                      block: int = 8, halo: int = 1):
+    """(g, slab) for the COLUMN-SLAB full-pack cascade, or None. Engages
+    where the full-width packed kernel's budget rejects the width —
+    slabs of a verified width are both robust AND faster there (the
+    W=192 L=1 g=4 full-width kernel measured 16.19M scoped, tipping
+    over the 16M ceiling program-dependently)."""
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    budget = gate_profile().get("packed_budget", {}).get(levels)
+    if not budget:
+        return None
+    c = cb * 4 ** levels
+    sf = 2 ** levels
+    blk_full = block * sf
+    if w % blk_full:
+        return None
+    for g in (8, 4, 2):
+        gc = g * c
+        if bsz % g or gc < 128 or gc > 256:
+            continue
+        slab = ((w - blk_full) // blk_full) * blk_full  # strictly < w
+        while slab >= blk_full and packed_vmem_bytes(
+                slab, cb, g, block, halo, levels) > budget:
+            slab -= blk_full
+        if slab >= blk_full:
+            return g, slab
+    return None
+
+
+def packed_cascade_tiled(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb,
+                         block, halo, levels, g, slab, r, interpret,
+                         precision=None):
+    """Column-slab full-pack cascade on a packed input (see
+    packed_front_tiled — same slicing/mask/concat contract)."""
+    bp, h, w, gcb = xp.shape
+    hs = halo * 2 ** levels
+    xe = jnp.pad(xp, ((0, 0), (0, 0), (hs, hs), (0, 0)))
+    ae = (jnp.pad(ap, ((0, 0), (0, 0), (hs, hs), (0, 0)))
+          if ap is not None else None)
+    outs = []
+    for j0 in range(0, w, slab):
+        sl = min(slab, w - j0)
+        xq = xe[:, :, j0:j0 + sl + 2 * hs]
+        aq = ae[:, :, j0:j0 + sl + 2 * hs] if ae is not None else None
+        outs.append(packed_cascade_core(
+            xq, aq, sp, tp, w_qkv, rel_h, rel_w, cb=cb, block=block,
+            halo=halo, levels=levels, g=g, r=r, interpret=interpret,
+            precision=precision, col_off=j0, frame_w=w, ext_cols=True))
+    return jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+
+
+def packed_cascade_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
+                              block, halo, levels, g, slab, r, interpret,
+                              precision=None):
+    """Unpacked-tensor entry for the column-slab full-pack cascade (the
+    per-branch dispatch path)."""
+    bsz = x.shape[0]
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if x_add is not None else None
+    sp = s.astype(jnp.float32).reshape(bsz // g, g * x.shape[-1])
+    tp = t.astype(jnp.float32).reshape(bsz // g, g * x.shape[-1])
+    out = packed_cascade_tiled(
+        xp, ap, sp, tp, w_qkv, rel_h, rel_w, cb=x.shape[-1], block=block,
+        halo=halo, levels=levels, g=g, slab=slab, r=r,
+        interpret=interpret, precision=precision)
+    return unpack_batch(out, g, interpret)

@@ -212,3 +212,27 @@ def test_packed_bwd_tiled_matches_banded(levels, g, slab, hw, with_add):
         tol = max(2e-3, 8e-3 * float(np.abs(bb).max()))
         np.testing.assert_allclose(np.asarray(a, np.float32), bb,
                                    atol=tol, err_msg=name)
+
+
+def test_packed_front_tiled_matches_full_width():
+    """Column-slab packed-front (slab + halo*2^L real overlap columns +
+    col_off interior mask) must match the full-width core exactly,
+    including a ragged last slab."""
+    rng = np.random.default_rng(31)
+    levels, cb, g = 2, 16, 8
+    b, h, w = 8, 32, 96
+    x, _, s, t, w_qkv, rel_h, rel_w = _mk(rng, b, h, w, cb, levels, False)
+    xp = pk.pack_batch(x, g, True)
+    sp = s.astype(jnp.float32).reshape(b // g, g * cb)
+    tp = t.astype(jnp.float32).reshape(b // g, g * cb)
+    kw = dict(cb=cb, block=8, halo=1, levels=levels, g=g, r=0.0,
+              interpret=True, sub=2)
+
+    full = np.asarray(pk.packed_front_core(
+        xp, None, sp, tp, w_qkv, rel_h, rel_w, **kw), np.float32)
+    for slab in (32, 64):  # 64 -> ragged last slab of 32
+        tiled = np.asarray(pk.packed_front_tiled(
+            xp, None, sp, tp, w_qkv, rel_h, rel_w, slab=slab, **kw),
+            np.float32)
+        np.testing.assert_allclose(tiled, full, atol=2e-2, rtol=2e-2)
+        assert float(np.abs(tiled - full).mean()) < 2e-3
