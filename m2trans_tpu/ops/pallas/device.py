@@ -58,7 +58,11 @@ _V5E = {
     # pack/pad/unpack 0.033 vs banded 0.114 ms/call; sub=4 OOMs. W=128
     # (est ~21.6M) untested -> budget 19e6 admits exactly the measured
     # shape, the tiled kernel keeps W>=128.
-    "packed_front_budget": {2: 19e6},
+    # r3-final: the full-width W=96 kernel (est 17.9M) measured 17.48M
+    # scoped — ACCURATE estimator, and marginal against the 16M ceiling
+    # (OOM'd inside the batch-64 lax.map program). 14e6 forces column
+    # slabs (slab=64 est 12.2M) everywhere, robust in any program.
+    "packed_front_budget": {2: 14e6},
     # DWT levels where the column-slab tiled cascade replaces the XLA
     # fallback beyond the banded gate. v5e-measured per call (scripts/
     # dissect_tiled.py): L=2 W=192 B=8 0.577 vs ~6.5 XLA, W=128 0.335 vs

@@ -1457,6 +1457,21 @@ def _make_cascade_fused(has_add: bool):
                 x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
                 halo=halo, levels=levels, g=pf[0], sub=pf[1], r=r,
                 interpret=interpret, precision=precision)
+        from m2trans_tpu.ops.pallas.halo_attn_packed import (
+            packed_front_tiled_impl,
+            pick_packed_front_tiled,
+        )
+
+        pft = (pick_packed_front_tiled(x.shape[0], x.shape[2],
+                                       x.shape[-1], levels, block, halo)
+               if (not conservative
+                   and x.shape[1] % (block * 2 ** levels) == 0) else None)
+        if pft is not None:
+            return packed_front_tiled_impl(
+                x, x_add, s, t, w_qkv, rel_h, rel_w, block=block,
+                halo=halo, levels=levels, g=pft[0], sub=pft[1],
+                slab=pft[2], r=r, interpret=interpret,
+                precision=precision)
         c = x.shape[-1] * 4 ** levels
         if _banded_vmem_bytes(x.shape[2], x.shape[-1], c, block, halo,
                               levels) > _banded_limit(levels):

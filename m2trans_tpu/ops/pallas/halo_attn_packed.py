@@ -1694,3 +1694,20 @@ def packed_cascade_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
         halo=halo, levels=levels, g=g, slab=slab, r=r,
         interpret=interpret, precision=precision)
     return unpack_batch(out, g, interpret)
+
+
+def packed_front_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
+                            block, halo, levels, g, sub, slab, r,
+                            interpret, precision=None):
+    """Unpacked-tensor entry for the column-slab packed-front cascade
+    (the per-branch dispatch path)."""
+    bsz = x.shape[0]
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if x_add is not None else None
+    sp = s.astype(jnp.float32).reshape(bsz // g, g * x.shape[-1])
+    tp = t.astype(jnp.float32).reshape(bsz // g, g * x.shape[-1])
+    out = packed_front_tiled(
+        xp, ap, sp, tp, w_qkv, rel_h, rel_w, cb=x.shape[-1], block=block,
+        halo=halo, levels=levels, g=g, sub=sub, slab=slab, r=r,
+        interpret=interpret, precision=precision)
+    return unpack_batch(out, g, interpret)

@@ -183,17 +183,24 @@ def test_ad_fwd_rule_avoids_packed_front(monkeypatch):
     import m2trans_tpu.ops.pallas.halo_attn_packed as pk
 
     calls = []
-    orig = pk.packed_front_cascade_impl
+    orig_full = pk.packed_front_cascade_impl
+    orig_tiled = pk.packed_front_tiled_impl
 
-    def spy(*a, **k):
+    def spy_full(*a, **k):
         calls.append(1)
-        return orig(*a, **k)
+        return orig_full(*a, **k)
 
-    monkeypatch.setattr(pk, "packed_front_cascade_impl", spy)
+    def spy_tiled(*a, **k):
+        calls.append(1)
+        return orig_tiled(*a, **k)
 
-    # flagship-eligible shape: B=8, W=96, cb=16, L=2 (pick_packed_front
-    # -> (8, 2) under the v5e calibration used on CPU)
-    assert pk.pick_packed_front(8, 96, 16, 2) is not None
+    monkeypatch.setattr(pk, "packed_front_cascade_impl", spy_full)
+    monkeypatch.setattr(pk, "packed_front_tiled_impl", spy_tiled)
+
+    # flagship-eligible shape: B=8, W=96, cb=16, L=2 (the column-slab
+    # gate under the v5e calibration used on CPU)
+    assert (pk.pick_packed_front(8, 96, 16, 2) is not None
+            or pk.pick_packed_front_tiled(8, 96, 16, 2) is not None)
     rng = np.random.default_rng(0)
     cb, levels = 16, 2
     c = cb * 4 ** levels
