@@ -97,6 +97,10 @@ _V5E = {
     # peak). The earlier monolithic formulations measured 18.5-23M scoped
     # vs the 16M ceiling; the split keeps every kernel ~11-12M estimated.
     "tail_bwd_limit": 13e6,
+    # Packed-front BACKWARD (L=2): packed full-res adjoints + native-C
+    # per-subgroup attention adjoint on a column-slab grid, vs
+    # packed_front_bwd_vmem_bytes.
+    "bwd_pf_budget": {2: 13e6},
 }
 
 # device_kind prefix (lowercased) -> calibration

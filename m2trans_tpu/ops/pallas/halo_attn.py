@@ -913,35 +913,28 @@ def _unpatch(pat, *, block, halo, wp):
     return (aligned + ov)[:, :, :wp, :]
 
 
-def _bwd_body(x, x_add, g_band, sv, tv, wq_ref, wk_ref, wv_ref, relh_ref,
-              relw_ref, z_bufs, g_bufs, iwt_bufs, *, block, halo, wc,
-              levels, precision, h, w, r, i, col_off=0):
-    """Shared cascade-branch backward math on one group of assembled
-    band/tile values: forward recompute (affine, DWT, qkv, windows,
-    attention probs) then the reverse chain. ``x``: (G, win*2^L, Wp_full,
-    Cb) band values; ``g_band``: (G, blk*2^L, W_cols, Cb) output
-    cotangent. Returns (dz extended band f32, dw, drel_h, drel_w)."""
-    sf = 2 ** levels
+def _attn_core_adjoint(zc, gc, wqkv, relh, relw, *, block, halo, wc,
+                       precision):
+    """Attention-core adjoint on COARSE values: given zc (G, win, wp, C)
+    (the qkv-projection inputs) and gc (G, block, wc, C) (the cotangent
+    of the attention output), recompute qkv/windows/attention and walk
+    the reverse chain. Returns (dzc (G, win, wp, C) f32, dw (C, 3C),
+    drel_h (win, C/2), drel_w (win, C/2)). Shared by the banded/tiled
+    backward (_bwd_body) and the packed-front backward (which runs the
+    full-res stages packed and this core per native-C subgroup)."""
+    g = zc.shape[0]
     win = block + 2 * halo
     wp = wc + 2 * halo
     nw = wc // block
-    hs = halo * sf
-    g = x.shape[0]
-
-    # ---- forward recompute ----
-    z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
-                     halo=halo, levels=levels, r=r, col_off=col_off)
-    zc = _dwt_value(z, z_bufs).astype(z.dtype) if levels else z
     c = zc.shape[-1]
     c2 = c // 2
-    wqkv = jnp.concatenate([wq_ref[:], wk_ref[:], wv_ref[:]], axis=1)
+
+    # ---- forward recompute (attention core) ----
     zf = zc.reshape(g * win * wp, c)
     qkv = jnp.dot(zf, wqkv, preferred_element_type=jnp.float32,
                   precision=precision).reshape(g, win, wp, 3 * c)
     scale = c ** -0.5
     q_full = qkv[:, halo:halo + block, halo:halo + wc, :c] * scale
-    relh = relh_ref[:].astype(jnp.float32)
-    relw = relw_ref[:].astype(jnp.float32)
     kv_full = jnp.concatenate(
         [qkv[..., c:c + c2] + relh[None, :, None, :], qkv[..., c + c2:]],
         axis=-1)
@@ -960,9 +953,6 @@ def _bwd_body(x, x_add, g_band, sv, tv, wq_ref, wk_ref, wv_ref, relh_ref,
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
 
     # ---- backward ----
-    g_band = g_band.astype(jnp.float32)  # (g, blk_full, w_cols, cb)
-    gc = _dwt_value(g_band, g_bufs) if levels else g_band
-    gc = gc.astype(jnp.float32)  # (g, block, wc, c)
     g_b = gc.reshape(g, block, nw, block, c).transpose(0, 2, 1, 3, 4)
     g_b = g_b.reshape(g * nw, block * block, c)
 
@@ -1002,6 +992,34 @@ def _bwd_body(x, x_add, g_band, sv, tv, wq_ref, wk_ref, wv_ref, relh_ref,
         dqkv_f, wqkv, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision).reshape(g, win, wp, c)
+    return dzc, dw_c, drh_c, drw_c
+
+
+def _bwd_body(x, x_add, g_band, sv, tv, wq_ref, wk_ref, wv_ref, relh_ref,
+              relw_ref, z_bufs, g_bufs, iwt_bufs, *, block, halo, wc,
+              levels, precision, h, w, r, i, col_off=0):
+    """Shared cascade-branch backward math on one group of assembled
+    band/tile values: forward recompute (affine, DWT) + the attention-
+    core adjoint + IWT/residual adjoints. ``x``: (G, win*2^L, Wp_full,
+    Cb) band values; ``g_band``: (G, blk*2^L, W_cols, Cb) output
+    cotangent. Returns (dz extended band f32, dw, drel_h, drel_w)."""
+    sf = 2 ** levels
+    hs = halo * sf
+
+    z = _affine_band(x, x_add, sv, tv, i=i, h=h, w=w, block=block,
+                     halo=halo, levels=levels, r=r, col_off=col_off)
+    zc = _dwt_value(z, z_bufs).astype(z.dtype) if levels else z
+    wqkv = jnp.concatenate([wq_ref[:], wk_ref[:], wv_ref[:]], axis=1)
+    relh = relh_ref[:].astype(jnp.float32)
+    relw = relw_ref[:].astype(jnp.float32)
+
+    g_band = g_band.astype(jnp.float32)  # (g, blk_full, w_cols, cb)
+    gc = _dwt_value(g_band, g_bufs) if levels else g_band
+    gc = gc.astype(jnp.float32)  # (g, block, wc, c)
+
+    dzc, dw_c, drh_c, drw_c = _attn_core_adjoint(
+        zc, gc, wqkv, relh, relw, block=block, halo=halo, wc=wc,
+        precision=precision)
     dz = _iwt_value(dzc, iwt_bufs) if levels else dzc  # (g, ext, wpf, cb)
 
     # add the residual cotangent (out = attn_out + z) at interior positions
@@ -1542,6 +1560,14 @@ def _make_cascade_fused(has_add: bool):
                                    block, halo)
         if gs:
             return "packed_tiled", gs
+        from m2trans_tpu.ops.pallas.halo_attn_packed import (
+            pick_packed_front_bwd,
+        )
+
+        pfb = pick_packed_front_bwd(x.shape[0], x.shape[2], cb, levels,
+                                    block, halo)
+        if pfb:
+            return "packed_front", pfb
         est = _banded_vmem_bytes(x.shape[2], cb, c, block, halo, levels)
         bwd_limit = gate_profile().get("bwd_banded_limit_default",
                                        9 * 1024 * 1024)
@@ -1581,6 +1607,16 @@ def _make_cascade_fused(has_add: bool):
                     x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
                     halo=halo, levels=levels, g=pg[0], slab=pg[1], r=r,
                     interpret=interpret, precision=precision)
+            if mode == "packed_front":
+                from m2trans_tpu.ops.pallas.halo_attn_packed import (
+                    packed_front_bwd_impl,
+                )
+
+                return packed_front_bwd_impl(
+                    x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, g=pg[0], sub=pg[1],
+                    slab=pg[2], r=r, interpret=interpret,
+                    precision=precision)
             if mode == "banded":
                 return _cascade_bwd_impl(
                     x, x_add, s, t, w_qkv, rel_h, rel_w, g, block=block,
@@ -1626,6 +1662,16 @@ def _make_cascade_fused(has_add: bool):
                     x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
                     halo=halo, levels=levels, g=pg[0], slab=pg[1], r=r,
                     interpret=interpret, precision=precision)
+            if mode == "packed_front":
+                from m2trans_tpu.ops.pallas.halo_attn_packed import (
+                    packed_front_bwd_impl,
+                )
+
+                return packed_front_bwd_impl(
+                    x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,
+                    halo=halo, levels=levels, g=pg[0], sub=pg[1],
+                    slab=pg[2], r=r, interpret=interpret,
+                    precision=precision)
             if mode == "banded":
                 return _cascade_bwd_impl(
                     x, None, s, t, w_qkv, rel_h, rel_w, g, block=block,

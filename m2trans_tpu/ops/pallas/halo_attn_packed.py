@@ -1711,3 +1711,361 @@ def packed_front_tiled_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, *,
         halo=halo, levels=levels, g=g, sub=sub, slab=slab, r=r,
         interpret=interpret, precision=precision)
     return unpack_batch(out, g, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Packed-front BACKWARD (round 3, final): the L=2 cascade backward was
+# the last 16-lane-occupancy path in training — the tiled backward's
+# full-res stages (affine/DWT of z and gout, IWT of dz) run every VPU op
+# at 16/128 lanes, the same wall packed-front removed from the forward.
+# This kernel runs those stages PACKED on a column-slab grid (4-view
+# tiles) and the attention-core adjoint per native-C subgroup (C=256 is
+# already lane-healthy); weight/rel grads accumulate NATIVE (the
+# projection runs per-subgroup at native C — no packed-weight adjoints).
+# ---------------------------------------------------------------------------
+
+
+def _packed_front_bwd_kernel(*refs, block: int, halo: int, wc: int,
+                             levels: int, g: int, sub: int, precision,
+                             h: int, w: int, slab: int, r: float,
+                             has_add: bool):
+    from m2trans_tpu.ops.pallas.halo_attn import _attn_core_adjoint
+
+    if has_add:
+        (xaa, xab, xba, xbb, aaa, aab, aba, abb, ga, s_ref, t_ref,
+         wqkv_ref, relh_ref, relw_ref,
+         dze_ref, dw_ref, drh_ref, drw_ref, *scratch) = refs
+    else:
+        (xaa, xab, xba, xbb, ga, s_ref, t_ref, wqkv_ref, relh_ref,
+         relw_ref, dze_ref, dw_ref, drh_ref, drw_ref, *scratch) = refs
+        aaa = aab = aba = abb = None
+    sf = 2 ** levels
+    ns = 4 ** levels
+    hs = halo * sf
+    hh = 2 * hs
+    win = block + 2 * halo
+    wp = wc + 2 * halo
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    gcb = xaa.shape[-1]
+    cb = gcb // g
+    c = cb * ns
+
+    # scratch layout: z pyramid (1+4+...+4^L), g pyramid (same), datt
+    # subbands (4^L), dz IWT (4^(L-1)+...+1)
+    pos = 0
+    dwt_ls = []
+    for l in range(levels + 1):
+        dwt_ls.append(scratch[pos:pos + 4 ** l])
+        pos += 4 ** l
+    g_ls = []
+    for l in range(levels + 1):
+        g_ls.append(scratch[pos:pos + 4 ** l])
+        pos += 4 ** l
+    datt_ls = scratch[pos:pos + ns]
+    pos += ns
+    iwt_dz_ls = []
+    for l in range(levels):
+        cnt = 4 ** (levels - 1 - l)
+        iwt_dz_ls.append(scratch[pos:pos + cnt])
+        pos += cnt
+
+    def tile(va, vb, vc, vd):
+        top = jnp.concatenate([va[0], vb[0][:, :hh]], axis=1)
+        bot = jnp.concatenate([vc[0][:hh], vd[0][:hh, :hh]], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    x = tile(xaa, xab, xba, xbb)
+    x_add = tile(aaa, aab, aba, abb)[None] if has_add else None
+    sv = s_ref[pl.ds(b, 1), :]
+    tv = t_ref[pl.ds(b, 1), :]
+    z = _affine_band(x[None], x_add, sv, tv, i=i, h=h, w=w, block=block,
+                     halo=halo, levels=levels, r=r,
+                     col_off=j * slab)[0]
+
+    def packed_dwt(v0, ls):
+        ls[0][0][:] = v0.astype(jnp.float32)
+        for l in range(len(ls) - 1):
+            for si, src in enumerate(ls[l]):
+                a = src[0::2, 0::2, :]
+                bb_ = src[1::2, 0::2, :]
+                cc = src[0::2, 1::2, :]
+                dd = src[1::2, 1::2, :]
+                dsts = ls[l + 1][4 * si:4 * si + 4]
+                for dst, val in zip(dsts, (
+                        (a + bb_ + cc + dd), (-a - bb_ + cc + dd),
+                        (-a + bb_ - cc + dd), (a - bb_ - cc + dd))):
+                    dst[:] = (val * 0.5).astype(dst.dtype)
+
+    packed_dwt(z, dwt_ls)
+    packed_dwt(ga[0].astype(jnp.float32), g_ls)
+
+    relh = relh_ref[:].astype(jnp.float32)
+    relw = relw_ref[:].astype(jnp.float32)
+    wqkv = wqkv_ref[:]
+
+    def unstack(ls, img):
+        # slice the scratch REFS directly (strided f32 lane loads are
+        # legal); materializing whole 128-wide values first costs ~1.4M
+        chunks = [ls[_rev4(sidx, levels)][:, :, img * cb:(img + 1) * cb]
+                  for sidx in range(ns)]
+        return jnp.concatenate(chunks, axis=-1)
+
+    dw_acc = drh_acc = drw_acc = None
+    for s0 in range(0, g, sub):
+        zsub = jnp.stack([unstack(dwt_ls[levels], img)
+                          for img in range(s0, s0 + sub)],
+                         axis=0).astype(jnp.bfloat16)
+        gsub = jnp.stack([unstack(g_ls[levels], img)
+                          for img in range(s0, s0 + sub)],
+                         axis=0).astype(jnp.float32)
+        dzc, dw_c, drh_c, drw_c = _attn_core_adjoint(
+            zsub, gsub, wqkv, relh, relw, block=block, halo=halo, wc=wc,
+            precision=precision)
+        dw_acc = dw_c if dw_acc is None else dw_acc + dw_c
+        drh_acc = drh_c if drh_acc is None else drh_acc + drh_c
+        drw_acc = drw_c if drw_acc is None else drw_acc + drw_c
+        # restack per-image dzc chunks into the packed dz subbands
+        # (slice through 128-wide intermediates when C > 128)
+        for k, img in enumerate(range(s0, s0 + sub)):
+            if c > 128:
+                d128 = [dzc[k][:, :, q * 128:(q + 1) * 128]
+                        for q in range(c // 128)]
+
+                def chunk(sidx, d128=d128):
+                    p0 = sidx * cb
+                    return d128[p0 // 128][:, :, p0 % 128:p0 % 128 + cb]
+            else:
+                def chunk(sidx, k=k):
+                    return dzc[k][:, :, sidx * cb:(sidx + 1) * cb]
+
+            for sidx in range(ns):
+                datt_ls[_rev4(sidx, levels)][
+                    :, :, img * cb:(img + 1) * cb] = chunk(sidx)
+
+    # packed IWT of the dz subbands (adjoint of the orthonormal DWT)
+    cur = datt_ls
+    for l in range(levels):
+        nxt = iwt_dz_ls[l]
+        for di, dst in enumerate(nxt):
+            ll = cur[4 * di][:].astype(jnp.float32)
+            hl = cur[4 * di + 1][:].astype(jnp.float32)
+            lh = cur[4 * di + 2][:].astype(jnp.float32)
+            hh_ = cur[4 * di + 3][:].astype(jnp.float32)
+            dst[0::2, 0::2, :] = (ll - hl - lh + hh_) * 0.5
+            dst[0::2, 1::2, :] = (ll + hl - lh - hh_) * 0.5
+            dst[1::2, 0::2, :] = (ll - hl + lh - hh_) * 0.5
+            dst[1::2, 1::2, :] = (ll + hl + lh + hh_) * 0.5
+        cur = nxt
+
+    g_pad = jnp.pad(ga[0].astype(jnp.float32),
+                    ((hs, hs), (hs, hs), (0, 0)))
+    dz = cur[0][:] + g_pad
+
+    dze_ref[0, 0, :, 0] = dz.astype(dze_ref.dtype)
+    first = (b == 0) & (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[:] = dw_acc.astype(dw_ref.dtype)
+        drh_ref[:] = drh_acc.astype(drh_ref.dtype)
+        drw_ref[:] = drw_acc.astype(drw_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw_ref[:] = dw_ref[:] + dw_acc.astype(dw_ref.dtype)
+        drh_ref[:] = drh_ref[:] + drh_acc.astype(drh_ref.dtype)
+        drw_ref[:] = drw_ref[:] + drw_acc.astype(drw_ref.dtype)
+
+
+def packed_front_bwd_vmem_bytes(slab, cb, g, block, halo, levels):
+    """Estimate for the packed-front backward kernel at slab width."""
+    sf = 2 ** levels
+    win = block + 2 * halo
+    gcb = g * cb
+    rows0 = win * sf
+    blk_full = block * sf
+    hs = halo * sf
+    wps = slab + 2 * hs
+    wc = slab // sf
+    c = cb * 4 ** levels
+    total = 2 * 2 * 4 * blk_full * slab * _lanes(gcb)   # 4 views, dbl-buf
+    total += 2 * 2 * blk_full * slab * _lanes(gcb)      # ga block
+    total += 2 * 2 * (blk_full + 2 * hs) * wps * _lanes(gcb)  # dze out
+    total += 4 * rows0 * wps * _lanes(gcb)              # z f32
+    for l in range(levels + 1):                         # z pyramid
+        total += 4 * (rows0 >> l) * (wps >> l) * _lanes(gcb * 4 ** l)
+    for l in range(levels + 1):                         # g pyramid
+        total += 4 * (blk_full >> l) * (slab >> l) * _lanes(gcb * 4 ** l)
+    total += 4 * rows0 // sf * (wc + 2 * halo) * _lanes(gcb) * 16  # datt
+    for l in range(levels):                             # dz IWT
+        total += 4 * ((win * 2) << l) * (((wc + 2 * halo) * 2) << l) \
+            * _lanes(gcb // 4 ** (l + 1) if False else gcb)
+    total += 4 * 256 * 768                              # dW accumulator
+    return total
+
+
+def pick_packed_front_bwd(bsz: int, w: int, cb: int, levels: int,
+                          block: int = 8, halo: int = 1):
+    """(g, sub, slab) for the packed-front backward, or None."""
+    from m2trans_tpu.ops.pallas.device import gate_profile
+
+    budget = gate_profile().get("bwd_pf_budget", {}).get(levels)
+    if not budget or 128 % cb:
+        return None
+    g = 128 // cb
+    sf = 2 ** levels
+    blk_full = block * sf
+    if g < 2 or bsz % g or w % blk_full:
+        return None
+    best = None
+    sl = blk_full
+    while sl <= w:
+        if packed_front_bwd_vmem_bytes(sl, cb, g, block, halo,
+                                       levels) <= budget:
+            best = sl
+        sl += blk_full
+    if best is None:
+        return None
+    # sub=4: two unrolled subgroup iterations instead of four — the
+    # compiler overlaps independent unrolled chains, and four overlapped
+    # attention-adjoint live sets measured 19.34M scoped at slab=32
+    return g, 4, best
+
+
+def packed_front_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *,
+                          block, halo, levels, g, sub, slab, r,
+                          interpret, precision=None):
+    """Packed-front backward for the fused cascade branch: same grads as
+    halo_attn._cascade_bwd_impl, with the full-res stages packed and the
+    attention adjoint per native-C subgroup."""
+    bsz, h, w, cb = x.shape
+    sf = 2 ** levels
+    ns = 4 ** levels
+    c = cb * ns
+    win = block + 2 * halo
+    gcb = g * cb
+    blk_full = block * sf
+    hs = halo * sf
+    ext = blk_full + 2 * hs
+    wcs = slab // sf
+    wps = slab + 2 * hs
+    nwb = -(-w // slab)
+    nh = h // blk_full
+    has_add = x_add is not None
+    bp = bsz // g
+
+    xp = pack_batch(x, g, interpret)
+    ap = pack_batch(x_add, g, interpret) if has_add else None
+    ga = pack_batch(gout, g, interpret)
+    ga = jnp.pad(ga, ((0, 0), (0, 0), (0, nwb * slab - w), (0, 0)))
+    sp = s.astype(jnp.float32).reshape(bp, gcb)
+    tp = t.astype(jnp.float32).reshape(bp, gcb)
+
+    pad_bottom = (nh + 1) * blk_full - h - hs
+    pad_right = (nwb + 1) * slab - w - hs
+    pads = ((0, 0), (hs, pad_bottom), (hs, pad_right), (0, 0))
+    xpp = jnp.pad(xp, pads)
+
+    kernel = functools.partial(_packed_front_bwd_kernel, block=block,
+                               halo=halo, wc=wcs, levels=levels, g=g,
+                               sub=sub, precision=precision, h=h, w=w,
+                               slab=slab, r=float(r), has_add=has_add)
+    view = lambda oi, oj: pl.BlockSpec(  # noqa: E731
+        (1, blk_full, slab, gcb),
+        lambda b, i, j, a=oi, d=oj: (b, i + a, j + d, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda b, i, j: tuple(0 for _ in shp),
+        memory_space=pltpu.VMEM)
+    per_img = pl.BlockSpec((bp, gcb), lambda b, i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    operands = [xpp, xpp, xpp, xpp]
+    in_specs = [view(0, 0), view(0, 1), view(1, 0), view(1, 1)]
+    if has_add:
+        app = jnp.pad(ap, pads)
+        operands += [app, app, app, app]
+        in_specs += [view(0, 0), view(0, 1), view(1, 0), view(1, 1)]
+    operands += [ga]
+    in_specs += [pl.BlockSpec((1, blk_full, slab, gcb),
+                              lambda b, i, j: (b, i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    operands += [sp, tp,
+                 w_qkv.astype(x.dtype),
+                 rel_h.astype(jnp.float32), rel_w.astype(jnp.float32)]
+    in_specs += [per_img, per_img, const((c, 3 * c)),
+                 const((win, c // 2)), const((win, c // 2))]
+
+    rows0 = win * sf
+    scratch = []
+    # all pyramid/datt scratch stays f32: the unstack/restack slice refs
+    # at cb=16-lane offsets, and sub-128-lane bf16 ref access is the
+    # known Mosaic hazard (32-bit-only strided rule)
+    for l in range(levels + 1):  # z pyramid
+        scratch += [pltpu.VMEM(((rows0 >> l), (wps >> l), gcb),
+                               jnp.float32)] * (4 ** l)
+    for l in range(levels + 1):  # g pyramid
+        scratch += [pltpu.VMEM(((blk_full >> l), (slab >> l), gcb),
+                               jnp.float32)] * (4 ** l)
+    wpc = wcs + 2 * halo
+    scratch += [pltpu.VMEM((win, wpc, gcb), jnp.float32)] * ns  # datt
+    for l in range(levels):  # dz IWT
+        scratch += [pltpu.VMEM(((win * 2) << l, (wpc * 2) << l, gcb),
+                               jnp.float32)] * (4 ** (levels - 1 - l))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bp, nh, ext, nwb, wps, gcb), x.dtype),
+        jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+        jax.ShapeDtypeStruct((win, c // 2), jnp.float32),
+        jax.ShapeDtypeStruct((win, c // 2), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, ext, 1, wps, gcb),
+                     lambda b, i, j: (b, i, 0, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((c, 3 * c)), const((win, c // 2)), const((win, c // 2)),
+    ]
+    dze, dw, drh, drw = pl.pallas_call(
+        kernel,
+        grid=(bp, nh, nwb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+    # 2-D overlap-add (columns then rows), crop, unpack
+    dze = dze.astype(jnp.float32)  # (bp, nh, ext, nwb, wps, gcb)
+    mainc = dze[..., :slab, :].reshape(bp, nh, ext, nwb * slab, gcb)
+    tailc = jnp.pad(dze[..., slab:, :],
+                    ((0, 0), (0, 0), (0, 0), (0, 0),
+                     (0, slab - 2 * hs), (0, 0)))
+    tailc = tailc.reshape(bp, nh, ext, nwb * slab, gcb)
+    acc_c = jnp.pad(mainc, ((0, 0), (0, 0), (0, 0), (0, slab), (0, 0))) \
+        + jnp.pad(tailc, ((0, 0), (0, 0), (0, 0), (slab, 0), (0, 0)))
+
+    cw = acc_c.shape[3]
+    mainr = acc_c[:, :, :blk_full].reshape(bp, nh * blk_full, cw, gcb)
+    tailr = jnp.pad(acc_c[:, :, blk_full:],
+                    ((0, 0), (0, 0), (0, blk_full - 2 * hs), (0, 0),
+                     (0, 0)))
+    tailr = tailr.reshape(bp, nh * blk_full, cw, gcb)
+    acc_rows = jnp.pad(mainr, ((0, 0), (0, blk_full), (0, 0), (0, 0))) \
+        + jnp.pad(tailr, ((0, 0), (blk_full, 0), (0, 0), (0, 0)))
+    dz_packed = acc_rows[:, hs:hs + h, hs:hs + w, :]
+    dz = unpack_batch(dz_packed, g, interpret)      # (bsz, h, w, cb) f32
+
+    xf = x.astype(jnp.float32)
+    dx = (dz * s.astype(jnp.float32)[:, None, None, :]).astype(x.dtype)
+    ds = jnp.sum(dz * xf, axis=(1, 2)).astype(s.dtype)
+    dt = jnp.sum(dz, axis=(1, 2)).astype(t.dtype)
+    dw_qkv = dw.astype(w_qkv.dtype)
+    drel_h = drh.astype(rel_h.dtype)
+    drel_w = drw.astype(rel_w.dtype)
+    if has_add:
+        dx_add = (r * dz).astype(x_add.dtype)
+        return dx, dx_add, ds, dt, dw_qkv, drel_h, drel_w
+    return dx, ds, dt, dw_qkv, drel_h, drel_w

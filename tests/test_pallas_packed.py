@@ -236,3 +236,37 @@ def test_packed_front_tiled_matches_full_width():
             np.float32)
         np.testing.assert_allclose(tiled, full, atol=2e-2, rtol=2e-2)
         assert float(np.abs(tiled - full).mean()) < 2e-3
+
+
+@pytest.mark.parametrize("with_add", [False, True])
+@pytest.mark.parametrize("slab,hw", [(32, 96), (64, 96)])
+def test_packed_front_bwd_matches_banded(with_add, slab, hw):
+    """Packed-front backward (packed full-res adjoints + native-C
+    per-subgroup attention adjoint on the slab grid) vs the banded
+    backward: all grads to bf16 boundary noise, incl. ragged slabs."""
+    from m2trans_tpu.ops.pallas.halo_attn import _cascade_bwd_impl
+
+    rng = np.random.default_rng(41 + slab)
+    levels, cb, g = 2, 16, 8
+    b = 8
+    x, xa, s, t, w_qkv, rel_h, rel_w = _mk(rng, b, 32, hw, cb, levels,
+                                           with_add)
+    r = 0.5 if with_add else 0.0
+    g_out = jnp.asarray(rng.standard_normal((b, 32, hw, cb)),
+                        jnp.bfloat16)
+
+    got = pk.packed_front_bwd_impl(
+        x, xa, s, t, w_qkv, rel_h, rel_w, g_out, block=8, halo=1,
+        levels=levels, g=g, sub=2, slab=slab, r=r, interpret=True)
+    want = _cascade_bwd_impl(
+        x, xa, s, t, w_qkv, rel_h, rel_w, g_out, block=8, halo=1,
+        levels=levels, r=r, interpret=True)
+
+    names = (("dx", "dx_add", "ds", "dt", "dw_qkv", "drel_h", "drel_w")
+             if with_add else
+             ("dx", "ds", "dt", "dw_qkv", "drel_h", "drel_w"))
+    for name, a, bnd in zip(names, got, want):
+        bb = np.asarray(bnd, np.float32)
+        tol = max(2e-3, 8e-3 * float(np.abs(bb).max()))
+        np.testing.assert_allclose(np.asarray(a, np.float32), bb,
+                                   atol=tol, err_msg=name)
