@@ -1569,9 +1569,15 @@ def _make_cascade_fused(has_add: bool):
         if pfb:
             return "packed_front", pfb
         est = _banded_vmem_bytes(x.shape[2], cb, c, block, halo, levels)
-        bwd_limit = gate_profile().get("bwd_banded_limit_default",
-                                       9 * 1024 * 1024)
-        if est <= min(_banded_limit(levels), bwd_limit):
+        # only tighten past the forward limit on profiles that calibrated
+        # a backward banded limit — uncalibrated devices keep the banded
+        # backward wherever the forward gate admits it (numerics are
+        # unchanged either way; this is a perf-only routing choice)
+        bwd_limit = gate_profile().get("bwd_banded_limit_default")
+        limit = _banded_limit(levels)
+        if bwd_limit is not None:
+            limit = min(limit, bwd_limit)
+        if est <= limit:
             return "banded", None
         if _bwd_tiled_slab(x.shape[2], cb, c, block, halo,
                            levels) is not None:

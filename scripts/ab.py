@@ -1,0 +1,133 @@
+"""Within-process A/B harness for kernel decisions (VERDICT r3 item 7).
+
+The axon tunnel drifts enough that the SAME compiled program measured
+25.1 and 42.3 ms/step in different processes minutes apart
+(NOTES_ROUND4.md) — only same-process comparisons are trustworthy. This
+module is the one place that implements the trusted recipe:
+
+  * serialized DATA-DEPENDENT chains (each call consumes the previous
+    output; only the final host fetch forces execution on the lazy
+    remote platform), measured at two lengths; the per-call time is the
+    slope between them, which cancels dispatch RTT and fetch overhead;
+  * minimum across trials (tunnel hiccups only ADD time);
+  * variants interleaved per trial (A, B, A, B, ...) so drift hits all
+    variants equally — the PAIRWISE ratio is the reliable statistic.
+
+Library use:
+
+    from scripts.ab import compare
+    compare({"old": f_old, "new": f_new}, args=(x,), feed=my_feed)
+
+where each variant is a jitted callable and ``feed(prev_out, args)``
+returns the next call's argument tuple (default: feed a tiny scalar of
+the previous output into the first array argument). Prints a table of
+slope +- spread and ratios vs the first variant; returns {name: slope}.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/m2trans_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _default_feed(prev, args):
+    """Data-dependence glue: nudge the first array arg by a scalar of the
+    previous output (1e-9 keeps values numerically unchanged in bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    if prev is None:
+        return args
+    leaves = [x for x in jax.tree_util.tree_leaves(prev)
+              if hasattr(x, "dtype")]
+    s = leaves[0].reshape(-1)[0].astype(jnp.float32)
+    first, rest = args[0], args[1:]
+    return (first + (s * 1e-9).astype(first.dtype),) + tuple(rest)
+
+
+def chain(fn, n, args, feed=_default_feed):
+    import jax
+    import numpy as np
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn(*feed(out, args))
+    jax.tree_util.tree_map(np.asarray, out)
+    return time.perf_counter() - t0
+
+
+def compare(variants, args, feed=_default_feed, n1=4, n2=16, trials=5,
+            label_width=24, quiet=False):
+    """Interleaved A/B slope comparison; see module docstring."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))  # warm the tunnel
+    names = list(variants)
+    for name in names:  # compile + first-run warmup, outside timing
+        chain(variants[name], 1, args, feed)
+        if not quiet:
+            print(f"  compiled {name}", flush=True)
+
+    t1 = {n: [] for n in names}
+    t2 = {n: [] for n in names}
+    for _ in range(trials):
+        for name in names:  # interleave within the trial
+            t1[name].append(chain(variants[name], n1, args, feed))
+        for name in names:
+            t2[name].append(chain(variants[name], n2, args, feed))
+
+    slopes, spreads = {}, {}
+    for name in names:
+        per = [(b - a) / (n2 - n1) for a, b in zip(t1[name], t2[name])]
+        per = [p for p in per if p > 0] or \
+            [min(t2[name]) / n2]  # all trials hiccuped: absolute fallback
+        slopes[name] = min(per)
+        spreads[name] = (max(per) - min(per)) / 2
+    base = slopes[names[0]]
+    if not quiet:
+        for name in names:
+            ratio = base / slopes[name] if slopes[name] else float("inf")
+            print(f"{name:<{label_width}} {slopes[name] * 1e3:9.3f} ms "
+                  f"+- {spreads[name] * 1e3:6.3f}   x{ratio:5.2f} vs "
+                  f"{names[0]}", flush=True)
+    return slopes
+
+
+def _demo():
+    """CLI smoke test: XLA vs Pallas fused branch at the flagship shape.
+
+    python scripts/ab.py [B H W CB LEVELS]
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from m2trans_tpu.ops.pallas.halo_attn import (
+        _xla_reference,
+        halo_attention_qkv_fused,
+    )
+
+    argv = [int(a) for a in sys.argv[1:]] or [8, 96, 96, 16, 0]
+    b, h, w, cb, levels = argv
+    c = cb * 4 ** levels
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, h, w, cb), jnp.bfloat16)
+    wq = jax.random.normal(key, (c, 3 * c), jnp.bfloat16) * 0.05
+    rh = jax.random.normal(key, (10, c // 2), jnp.float32)
+    rw = jax.random.normal(key, (10, c // 2), jnp.float32)
+
+    fused = jax.jit(lambda xx: halo_attention_qkv_fused(
+        xx, wq, rh, rw, levels=levels))
+    xla = jax.jit(lambda xx: _xla_reference(
+        xx, wq, rh, rw, block=8, halo=1, levels=levels))
+    compare({"xla": xla, "pallas": fused}, (x,))
+
+
+if __name__ == "__main__":
+    _demo()
