@@ -314,7 +314,21 @@ def _packed_body_ok(bsz: int, h: int, w: int, cb: int, block: int,
         gs = pick_packed_tiled(bsz, w, cb, levels, block, halo)
         return gs is not None and gs[0] == want_g
 
-    if not (l_ok(0, 8) and l_ok(1, 4)):
+    from m2trans_tpu.ops.pallas.halo_attn_packed import (
+        pick_packed_front_tiled,
+    )
+
+    def l1_ok():
+        # L=1 prefers the packed-attention front kernel (no restacks);
+        # the g=4 restacked full-pack/tiled cascade is the fallback
+        if pick_packed_front(bsz, w, cb, 1, block, halo) is not None:
+            return True
+        if pick_packed_front_tiled(bsz, w, cb, 1, block,
+                                   halo) is not None:
+            return True
+        return l_ok(1, 4)
+
+    if not (l_ok(0, 8) and l1_ok()):
         return False
     if pick_packed_front(bsz, w, cb, 2, block, halo) is not None:
         return True
@@ -333,44 +347,98 @@ def _packed_body_ok(bsz: int, h: int, w: int, cb: int, block: int,
                                    2) <= _banded_limit(2))
 
 
+# ff-conv formulation inside the packed body flow (perf experiment knob;
+# both are exact): True = slot-scattered packed 512-lane conv, False =
+# per-CFTM unpack -> per-image conv -> repack
+_FF_PACKED = False
+
+
+def _pack_ff_weight(w: jnp.ndarray, b: jnp.ndarray, g: int = 8,
+                    nb: int = 4):
+    """Slot-scattered packed feed-forward conv weight.
+
+    Lifts the per-image (3, 3, C, C) conv to the branch-major packed
+    layout (3, 3, nb*g*cb, nb*g*cb): Wp[.., p_in, p_out] =
+    W[.., d(p_in), d(p_out)] * (slot(p_in) == slot(p_out)) with
+    p = k*(g*cb) + s*cb + c. 8x the per-image FLOPs, but the dense
+    512-lane conv runs at full MXU utilization where the 64-channel
+    per-image conv measured ~6 TFLOP/s — net ~3x faster AND it keeps
+    the body packed across CFTMs (no per-CFTM unpack/pack)."""
+    kh, kw_, cin, cout = w.shape
+    cb = cin // nb
+    eye = jnp.eye(g, dtype=w.dtype)
+    w6 = w.reshape(kh, kw_, nb, cb, nb, cb)
+    wp = jnp.einsum("hwabcd,ij->hwaibcjd", w6, eye)
+    wp = wp.reshape(kh, kw_, nb * g * cb, nb * g * cb)
+    bp = jnp.broadcast_to(b.reshape(nb, 1, cb),
+                          (nb, g, cb)).reshape(nb * g * cb)
+    return wp, bp
+
+
+def _packed_in_stats(xp: jnp.ndarray):
+    """Instance-norm statistics on a branch-major packed body tensor.
+
+    pack_body is a pure relayout of (B, H, W, C) onto (B/g, H, W, g*C)
+    lanes with H, W untouched, so the per-lane mean/var over (H, W) IS
+    the per-image per-channel statistic, already in the lane order the
+    packed branch kernels consume — no transposes at all."""
+    xf = xp.astype(jnp.float32)
+    m = jnp.mean(xf, axis=(1, 2))
+    v = jnp.mean(jnp.square(xf), axis=(1, 2)) - jnp.square(m)
+    inv = lax.rsqrt(v + 1e-5)
+    return inv, -m * inv
+
+
 def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
                              policy: ComputePolicy, block: int,
                              halo: int) -> jnp.ndarray:
-    """bf16+Pallas CFTM with the body held PACKED through the cascade.
-
-    pack_body lays the (B, H, W, 64) tensor out branch-major as
-    (B/8, H, W, 512) — branch k's 8-image slot-major pack is the
-    contiguous 128-lane block at offset k*128, so each branch kernel
-    consumes/produces its native packed layout with no per-branch
-    pack/unpack and no XLA relayout staging. Instance-norm statistics
-    are computed on the unpacked input (identical values, reordered
-    lanes); cascade folds are elementwise on packed blocks; one
-    unpack_body feeds the ff conv. Matches _cftm_apply_fused output to
+    """bf16+Pallas CFTM with the body held PACKED through the cascade
+    (per-CFTM wrapper around _cftm_apply_packed_core for callers holding
+    unpacked tensors; the model body loop packs ONCE and stays packed —
+    see m2trans_apply). Matches _cftm_apply_fused output to
     f32-accumulation noise (reference CFTM.forward :132-164)."""
     from m2trans_tpu.ops.pallas.halo_attn_packed import (
         pack_body,
-        packed_cascade_core,
-        packed_front_core,
-        pick_packed_front,
         unpack_body,
     )
 
-    bsz = x.shape[0]
     g = 8
-    bp = bsz // g
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2))
-    var = jnp.mean(jnp.square(xf), axis=(1, 2)) - jnp.square(mean)
-    inv = lax.rsqrt(var + 1e-5)
-    tfull = -mean * inv
-    cb = x.shape[-1] // 4
-
     xp = pack_body(x.astype(policy.dtype), g)  # (bp, H, W, 512)
+    inv_p, t_p = _packed_in_stats(xp)
+    yp = _cftm_apply_packed_core(p, xp, inv_p, t_p, policy=policy,
+                                 block=block, halo=halo)
+    return unpack_body(yp, g)
+
+
+def _cftm_apply_packed_core(p: Params, xp: jnp.ndarray,
+                            inv_p: jnp.ndarray, t_p: jnp.ndarray, *,
+                            policy: ComputePolicy, block: int,
+                            halo: int) -> jnp.ndarray:
+    """Fully-packed CFTM: packed input, packed IN statistics, packed
+    branch kernels, slot-scattered packed ff conv, packed residual —
+    the only XLA between branch kernels is the elementwise cascade
+    folds. pack_body lays the (B, H, W, 4*cb) tensor out branch-major
+    as (B/8, H, W, 32*cb) — branch k's 8-image slot-major pack is the
+    contiguous 128-lane block at offset k*128, so each branch kernel
+    consumes/produces its native packed layout with no per-branch
+    pack/unpack and no XLA relayout staging."""
+    from m2trans_tpu.ops.pallas.halo_attn_packed import (
+        packed_cascade_core,
+        packed_front_core,
+        pick_packed_front,
+    )
+
+    bp = xp.shape[0]
+    g = 8
+    bsz = bp * g
+    cb = xp.shape[-1] // 32
+    x = xp  # frame dims below come from the packed tensor
 
     def st_packed(k):
-        # branch-k packed affine: (bsz, cb) -> (bp, g*cb) slot-major
-        sk = inv[:, k * cb:(k + 1) * cb].reshape(bp, g * cb)
-        tk = tfull[:, k * cb:(k + 1) * cb].reshape(bp, g * cb)
+        # branch-k packed affine: the contiguous 128-lane block of the
+        # packed statistics (see _packed_in_stats)
+        sk = inv_p[:, k * g * cb:(k + 1) * g * cb]
+        tk = t_p[:, k * g * cb:(k + 1) * g * cb]
         return sk, tk
 
     def fold(xk, prev, sk, tk):
@@ -420,15 +488,37 @@ def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
     s1, t1 = st_packed(0)
     o1 = run_packed(block_k(0), s1, t1, "attn1", 0, 8)
 
-    # branch 2: L=1, full-pack g=4 — the (bp, .., 128) block is two
-    # g=4 packs on lane halves; restack halves onto the batch axis
+    # branch 2: L=1 — packed-attention front kernel on the (bp, .., 128)
+    # block directly (two gc=256 subgroup iterations inside the kernel;
+    # kills the XLA lane-half restacks, ~2 ms/step at the flagship —
+    # scripts/dissect_glue.py). Fallback: restack halves onto the batch
+    # axis and run the g=4 full-pack cascade.
+    from m2trans_tpu.ops.pallas.halo_attn_packed import (
+        packed_front_tiled,
+        pick_packed_front_tiled,
+    )
+
     s2, t2 = st_packed(1)
     x2, s2, t2 = fold(block_k(1), o1, s2, t2)
-    x2h = jnp.concatenate([x2[..., :64], x2[..., 64:]], axis=0)
-    s2h = jnp.concatenate([s2[:, :64], s2[:, 64:]], axis=0)
-    t2h = jnp.concatenate([t2[:, :64], t2[:, 64:]], axis=0)
-    o2h = run_packed(x2h, s2h, t2h, "attn2", 1, 4)
-    o2 = jnp.concatenate([o2h[:bp], o2h[bp:]], axis=-1)
+    pf1 = pick_packed_front(bsz, x.shape[2], cb, 1, block, halo)
+    pft1 = (None if pf1 is not None
+            else pick_packed_front_tiled(bsz, x.shape[2], cb, 1, block,
+                                         halo))
+    if pf1 is not None:
+        o2 = packed_front_core(x2, None, s2, t2, wq("attn2", 1),
+                               p["attn2"]["rel_h"], p["attn2"]["rel_w"],
+                               levels=1, g=8, sub=pf1[1], **kw)
+    elif pft1 is not None:
+        o2 = packed_front_tiled(x2, None, s2, t2, wq("attn2", 1),
+                                p["attn2"]["rel_h"], p["attn2"]["rel_w"],
+                                levels=1, g=pft1[0], sub=pft1[1],
+                                slab=pft1[2], **kw)
+    else:
+        x2h = jnp.concatenate([x2[..., :64], x2[..., 64:]], axis=0)
+        s2h = jnp.concatenate([s2[:, :64], s2[:, 64:]], axis=0)
+        t2h = jnp.concatenate([t2[:, :64], t2[:, 64:]], axis=0)
+        o2h = run_packed(x2h, s2h, t2h, "attn2", 1, 4)
+        o2 = jnp.concatenate([o2h[:bp], o2h[bp:]], axis=-1)
 
     # branches 3, 4: L=2 — packed-front g=8 where its VMEM gate admits
     # the width; otherwise per-branch unpack -> the width-tolerant
@@ -478,10 +568,33 @@ def _cftm_apply_fused_packed(p: Params, x: jnp.ndarray, *,
     x4, s4, t4 = fold(block_k(3), o3, s4, t4)
     o4 = branch_l2("attn4", x4, s4, t4)
 
-    xc = unpack_body(jnp.concatenate([o1, o2, o3, o4], axis=-1), g)
+    oc = jnp.concatenate([o1, o2, o3, o4], axis=-1)
+    if _FF_PACKED:
+        w_ff, b_ff = _pack_ff_weight(p["ff"]["w"].astype(policy.dtype),
+                                     p["ff"]["b"].astype(jnp.float32), g)
+        # 9 shifted matmuls instead of conv_general_dilated: the batch-1
+        # 512-channel conv lowers pathologically on v5e (~1.1 ms/CFTM
+        # more than the per-image conv; the explicit dots tile cleanly
+        # onto the MXU)
+        bpx, hh, ww, gc = oc.shape
+        ocp = jnp.pad(oc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = jnp.broadcast_to(b_ff, (bpx, hh, ww, gc)).astype(jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                sl = ocp[:, dy:dy + hh, dx:dx + ww, :].reshape(-1, gc)
+                acc = acc + jnp.dot(
+                    sl, w_ff[dy, dx], preferred_element_type=jnp.float32,
+                    precision=policy.precision).reshape(bpx, hh, ww, gc)
+        return acc.astype(policy.dtype) + xp
+    from m2trans_tpu.ops.pallas.halo_attn_packed import (
+        pack_body,
+        unpack_body,
+    )
+
+    xc = unpack_body(oc, g)
     ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",
                 dtype=policy.dtype, precision=policy.precision)
-    return ff + x.astype(policy.dtype)
+    return pack_body(ff, g) + xp
 
 
 def _cftm_apply_fused(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
@@ -603,11 +716,33 @@ def m2trans_apply(params: Params, x: jnp.ndarray, cfg: Config,
     res = conv2d(x, params["head"]["w"], params["head"]["b"],
                  padding="reflect", dtype=policy.dtype,
                  precision=policy.precision)
-    y = res
-    for blk in params["body"]:
-        y = cftm_apply(blk, y, policy=policy, block=cfg.block_size,
-                       halo=cfg.halo_size)
-    y = res + y
+    if (policy.use_pallas and policy.dtype == jnp.bfloat16
+            and policy.packed_body
+            and _packed_body_ok(res.shape[0], res.shape[1], res.shape[2],
+                                res.shape[-1] // 4, cfg.block_size,
+                                cfg.halo_size)):
+        # whole-BODY packed flow: pack once after the head, stay packed
+        # through all CFTMs (packed IN stats, packed branch kernels,
+        # slot-scattered packed ff conv), unpack once before the tail
+        from m2trans_tpu.ops.pallas.halo_attn_packed import (
+            pack_body,
+            unpack_body,
+        )
+
+        yp = pack_body(res, 8)
+        for blk in params["body"]:
+            inv_p, t_p = _packed_in_stats(yp)
+            yp = _cftm_apply_packed_core(blk, yp, inv_p, t_p,
+                                         policy=policy,
+                                         block=cfg.block_size,
+                                         halo=cfg.halo_size)
+        y = res + unpack_body(yp, 8)
+    else:
+        y = res
+        for blk in params["body"]:
+            y = cftm_apply(blk, y, policy=policy, block=cfg.block_size,
+                           halo=cfg.halo_size)
+        y = res + y
     y = tail_apply(params["tail"], y, scale=cfg.scale, policy=policy,
                    rgb_range=cfg.rgb_range)
     # clamp (idempotent when the fused tail already clamped); keep bf16

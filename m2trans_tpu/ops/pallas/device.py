@@ -62,7 +62,10 @@ _V5E = {
     # scoped — ACCURATE estimator, and marginal against the 16M ceiling
     # (OOM'd inside the batch-64 lax.map program). 14e6 forces column
     # slabs (slab=64 est 12.2M) everywhere, robust in any program.
-    "packed_front_budget": {2: 14e6},
+    # r4: L=1 packed-attention front mode (sub=4, gc=256 — the measured-
+    # good restacked shape run inside the kernel; kills the ~2 ms/step of
+    # XLA lane-half restacks, scripts/dissect_glue.py). W=96 est 13.4M.
+    "packed_front_budget": {1: 14e6, 2: 14e6},
     # DWT levels where the column-slab tiled cascade replaces the XLA
     # fallback beyond the banded gate. v5e-measured per call (scripts/
     # dissect_tiled.py): L=2 W=192 B=8 0.577 vs ~6.5 XLA, W=128 0.335 vs

@@ -569,8 +569,39 @@ def _packed_front_kernel(*refs, block: int, halo: int, wc: int,
     # full-buffer contiguous loads, cast to f32 BEFORE the cb-wide lane
     # slicing (sub-128 bf16 lane slices are a Mosaic hazard)
     groups = [buf[:].astype(jnp.float32) for buf in dwt_ls[levels]]
-    outs = [None] * g
-    for s0 in range(0, g, sub):
+    if c < 128:
+        # PACKED-ATTENTION subgroup mode (L=1: per-image C=64 sits below
+        # the 128-lane floor — sub-128 batched dots crash Mosaic). Each
+        # subgroup of ``sub`` images runs the packed-weight attention at
+        # sub*C lanes; wqkv/relh/relw refs carry pack_branch_weights(
+        # g=sub) outputs and att_ls is f32 (64-lane-offset stores must
+        # stay 32-bit). Kills the XLA lane-half restacks the model's
+        # branch 2 paid ~2 ms/step for (scripts/dissect_glue.py).
+        sc_ = sub * cb
+        gc_ = sub * c
+        for s0 in range(0, g, sub):
+            zsub = jnp.concatenate(
+                [groups[_rev4(sidx, levels)][:, :, s0 * cb:s0 * cb + sc_]
+                 for sidx in range(ns)], axis=-1)
+            zf = zsub.reshape(win * wp, gc_).astype(jnp.bfloat16)
+            qkv = jnp.dot(zf, wqkv_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=precision).reshape(win, wp, 3 * gc_)
+            q_full = qkv[halo:halo + block, halo:halo + wc, :gc_] \
+                * (c ** -0.5)
+            kv_full = qkv[..., gc_:] + relh[:, None, :]
+            out_p = _attend_packed(q_full, kv_full, relw, block=block,
+                                   halo=halo, wc=wc, g=sub, cb=cb,
+                                   levels=levels, precision=precision)
+            for sidx in range(ns):
+                att_ls[_rev4(sidx, levels)][
+                    :, :, s0 * cb:s0 * cb + sc_] = out_p[
+                    :, :, sidx * sc_:(sidx + 1) * sc_].astype(
+                        att_ls[0].dtype)
+        outs = None
+    else:
+        outs = [None] * g
+    for s0 in (() if outs is None else range(0, g, sub)):
         # unstack `sub` images: per image, its coarse channels are ns
         # cb-wide lane chunks (p-layout), sub-sliced from 128-wide values
         imgs = []
@@ -595,22 +626,24 @@ def _packed_front_kernel(*refs, block: int, halo: int, wc: int,
             outs[img] = out_sub[k]
     # re-pack: per subband, concat the g images' cb-wide chunks (sliced
     # through 128-wide intermediates when C > 128) into its 128-wide
-    # scratch
-    if c > 128:
-        out128 = [[outs[img][:, :, k * 128:(k + 1) * 128]
-                   for k in range(c // 128)] for img in range(g)]
+    # scratch (packed-attention mode stored att_ls in the subgroup loop)
+    if outs is not None:
+        if c > 128:
+            out128 = [[outs[img][:, :, k * 128:(k + 1) * 128]
+                       for k in range(c // 128)] for img in range(g)]
 
-        def chunk(img, sidx):
-            p0 = sidx * cb
-            return out128[img][p0 // 128][:, :, p0 % 128:p0 % 128 + cb]
-    else:
-        def chunk(img, sidx):
-            return outs[img][:, :, sidx * cb:(sidx + 1) * cb]
+            def chunk(img, sidx):
+                p0 = sidx * cb
+                return out128[img][p0 // 128][:, :,
+                                              p0 % 128:p0 % 128 + cb]
+        else:
+            def chunk(img, sidx):
+                return outs[img][:, :, sidx * cb:(sidx + 1) * cb]
 
-    for sidx in range(ns):
-        att_ls[_rev4(sidx, levels)][:] = jnp.concatenate(
-            [chunk(img, sidx) for img in range(g)],
-            axis=-1).astype(att_ls[0].dtype)
+        for sidx in range(ns):
+            att_ls[_rev4(sidx, levels)][:] = jnp.concatenate(
+                [chunk(img, sidx) for img in range(g)],
+                axis=-1).astype(att_ls[0].dtype)
 
     # packed IWT: 4 subband scratches -> one double-resolution scratch
     cur = att_ls
@@ -651,15 +684,28 @@ def packed_front_vmem_bytes(w, cb, g, block, halo, levels):
     for l in range(levels + 1):                            # packed DWT
         bpe = 2 if l == levels else 4
         total += bpe * (rows0 >> l) * (wp_full >> l) * _lanes(gcb * 4 ** l)
-    total += 2 * block * wc * _lanes(gcb * 4 ** levels)    # att_pack bf16
+    c = cb * 4 ** levels
+    wp = wc + 2 * halo
+    nw = wc // block
+    bb = block * block
+    if c < 128:
+        # packed-attention subgroups (sub=4, stacked-query live sets;
+        # att scratch f32 — see _packed_front_kernel packed-attn mode)
+        sub = 4
+        gc_ = sub * c
+        total += 4 * block * wc * _lanes(gcb * 4 ** levels)  # att f32
+        total += 4 * win * wp * 3 * gc_                      # qkv f32
+        total += 4 * nw * win * win * _lanes(2 * gc_)        # patches
+        total += 2 * 4 * nw * sub * bb * _lanes(gc_)         # qs + av
+        total += 2 * 4 * nw * sub * bb * _lanes(win * win)   # sim + attn
+    else:
+        total += 2 * block * wc * _lanes(gcb * 4 ** levels)  # att bf16
+        # per-subgroup live: qkv f32 + patches/logits (sub=2)
+        total += 4 * 2 * win * wp * 3 * c
+        total += 4 * 2 * nw * 2 * win * win * _lanes(c)
     for l in range(levels):                                # packed IWT f32
         total += 4 * (block << (l + 1)) * (wc << (l + 1)) * _lanes(
             gcb * 4 ** levels >> (2 * (l + 1)))
-    # per-subgroup live: qkv f32 + patches/logits (sub=2)
-    c = cb * 4 ** levels
-    wp = wc + 2 * halo
-    total += 4 * 2 * win * wp * 3 * c
-    total += 4 * 2 * (wc // block) * 2 * win * win * _lanes(c)
     return total
 
 
@@ -698,6 +744,7 @@ def packed_front_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb, block,
     sf = 2 ** levels
     c = cb * 4 ** levels
     win = block + 2 * halo
+    packed_attn = c < 128  # see _packed_front_kernel packed-attn mode
 
     nh = h // (block * sf)
     blk_full = block * sf
@@ -745,22 +792,35 @@ def packed_front_core(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb, block,
                                (0, 0)))
         operands += [app, app]
         in_specs += [band_spec, tail_spec]
-    operands += [sp, tp, w_qkv.astype(xp.dtype),
-                 rel_h.astype(jnp.float32), rel_w.astype(jnp.float32)]
-    in_specs += [per_img, per_img, const((c, 3 * c)),
-                 const((win, c // 2)), const((win, c // 2))]
+    if packed_attn:
+        # packed-attention subgroups: the kernel consumes the g=sub
+        # packed projection weight and [k|v]-wide rel biases
+        w_att, relh_att, relw_att = pack_branch_weights(
+            w_qkv, rel_h.astype(jnp.float32), rel_w.astype(jnp.float32),
+            cb=cb, g=sub, levels=levels)
+        gc_ = sub * c
+        operands += [sp, tp, w_att.astype(xp.dtype), relh_att, relw_att]
+        in_specs += [per_img, per_img, const((gc_, 3 * gc_)),
+                     const((win, 2 * gc_)), const((win, 2 * gc_))]
+    else:
+        operands += [sp, tp, w_qkv.astype(xp.dtype),
+                     rel_h.astype(jnp.float32), rel_w.astype(jnp.float32)]
+        in_specs += [per_img, per_img, const((c, 3 * c)),
+                     const((win, c // 2)), const((win, c // 2))]
 
     # Scratch: per-subband 128-lane buffers (see kernel header) — level l
     # of the DWT pyramid is 4^l buffers (final level bf16), attention
-    # output is 4^levels bf16 buffers, IWT level l is 4^(levels-1-l) f32
-    # buffers, all gcb lanes wide.
+    # output is 4^levels bf16 buffers (f32 in packed-attention mode: its
+    # 64-lane-offset stores must stay 32-bit), IWT level l is
+    # 4^(levels-1-l) f32 buffers, all gcb lanes wide.
     rows0 = win * sf
     scratch = []
     for l in range(levels + 1):
         dt = jnp.bfloat16 if l == levels else jnp.float32
         scratch += [pltpu.VMEM(((rows0 >> l), (wp_full >> l), gcb),
                                dt)] * (4 ** l)
-    scratch += [pltpu.VMEM((block, wc, gcb), jnp.bfloat16)] * (4 ** levels)
+    att_dt = jnp.float32 if packed_attn else jnp.bfloat16
+    scratch += [pltpu.VMEM((block, wc, gcb), att_dt)] * (4 ** levels)
     for l in range(levels):
         scratch += [pltpu.VMEM(
             (block << (l + 1), wc << (l + 1), gcb),
@@ -807,7 +867,10 @@ def pick_packed_front(bsz: int, w: int, cb: int, levels: int,
         return None
     if packed_front_vmem_bytes(w, cb, g, block, halo, levels) > budget:
         return None
-    return g, 2
+    # sub-128-C levels use the packed-attention subgroup mode at
+    # sub*C = 256 lanes (L=1: two gc=256 iterations, matching the
+    # measured-good restacked g=4 shape); native-C levels use sub=2
+    return g, (4 if cb * 4 ** levels < 128 else 2)
 
 
 def pick_pack_g(bsz: int, w: int, cb: int, levels: int,
@@ -1597,7 +1660,7 @@ def pick_packed_front_tiled(bsz: int, w: int, cb: int, levels: int,
         slab -= blk_full
     if slab < blk_full:
         return None
-    return g, 2, slab
+    return g, (4 if cb * 4 ** levels < 128 else 2), slab
 
 
 def packed_front_tiled(xp, ap, sp, tp, w_qkv, rel_h, rel_w, *, cb, block,
@@ -1901,8 +1964,8 @@ def packed_front_bwd_vmem_bytes(slab, cb, g, block, halo, levels):
     total += 4 * rows0 // sf * (wc + 2 * halo) * _lanes(gcb) * 16  # datt
     for l in range(levels):                             # dz IWT
         total += 4 * ((win * 2) << l) * (((wc + 2 * halo) * 2) << l) \
-            * _lanes(gcb // 4 ** (l + 1) if False else gcb)
-    total += 4 * 256 * 768                              # dW accumulator
+            * _lanes(gcb)
+    total += 4 * c * 3 * c                              # dW accumulator
     return total
 
 
@@ -1930,8 +1993,10 @@ def pick_packed_front_bwd(bsz: int, w: int, cb: int, levels: int,
         return None
     # sub=4: two unrolled subgroup iterations instead of four — the
     # compiler overlaps independent unrolled chains, and four overlapped
-    # attention-adjoint live sets measured 19.34M scoped at slab=32
-    return g, 4, best
+    # attention-adjoint live sets measured 19.34M scoped at slab=32.
+    # Clamp to the pack group: cb=64 shapes give g=2 and the kernel's
+    # subgroup loop must not run past the packed lane buffers.
+    return g, min(4, g), best
 
 
 def packed_front_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *,

@@ -1,0 +1,52 @@
+"""Within-process A/B: packed-body flow with packed vs unpacked ff conv.
+
+Compiles the flagship forward twice — once with the slot-scattered
+packed ff conv (m2trans._FF_PACKED=True), once with the per-CFTM
+unpack -> per-image conv -> repack formulation — and interleaves the
+chains (scripts/ab.py).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/m2trans_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from m2trans_tpu.config import Config  # noqa: E402
+from m2trans_tpu.models import (  # noqa: E402
+    init_m2trans,
+    m2trans_apply,
+    policy_from_config,
+)
+import m2trans_tpu.models.m2trans as mm  # noqa: E402
+from scripts.ab import compare  # noqa: E402
+
+
+def main():
+    hw = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3,
+                 dtype="bfloat16", use_pallas=True)
+    policy = policy_from_config(cfg)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, hw, hw, 3))
+
+    def fwd(xx):
+        y = m2trans_apply(params, xx, cfg, policy=policy)
+        return xx * 0.999 + y.astype(jnp.float32).mean() * 1e-3
+
+    mm._FF_PACKED = True
+    a = jax.jit(fwd).lower(x).compile()
+    mm._FF_PACKED = False
+    b = jax.jit(lambda xx: fwd(xx) + 0.0).lower(x).compile()
+    mm._FF_PACKED = True
+
+    compare({"ff_packed": a, "ff_unpacked": b}, (x,), n1=8, n2=40,
+            trials=6)
+
+
+if __name__ == "__main__":
+    main()
