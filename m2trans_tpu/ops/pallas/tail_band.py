@@ -48,6 +48,13 @@ Params = Dict[str, Any]
 
 _BLOCK = 8  # LR rows per band
 
+# phase-conv formulation (both exact): True = single tap-packed dot
+# (N=9*P*3) + shifted slice-adds, False = 9 per-tap dots (N=P*3).
+# Measured in-model (scripts/ab_tail.py, ABBA paired deltas on v5e):
+# tap-packed is +0.7 ms/step SLOWER — the 9 slice-adds over the f32
+# (rows, W+2, 432) tap tensor cost more than the MXU padding they save.
+_TAP_PACKED = False
+
 
 # Odd minimax-style polynomial erf: x * P7(x^2) on |x| <= 3, clamped
 # outside (erf(3) = 1 - 2.2e-5). Max abs err 9.6e-5 over all x — below
@@ -72,13 +79,18 @@ def _erf(x):
     return xc * p
 
 
+# A fused degree-5 gelu polynomial (x * (0.5 + t*Q(t^2))) was tried and
+# measured a wash in-model (scripts/ab_tail.py, ABBA paired deltas:
+# +0.08 ms vs this erf form; removing GELU entirely recovers only
+# ~0.33 ms/step) — the erf form stays for its 9.6e-5 accuracy.
 def _gelu(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _kernel(y_a, y_b, lc_ref, rc_ref, top_ref, bot_ref, w0_ref, b0_ref,
             w1_ref, b1_ref, k_ref, out_ref, *, nf: int, scale: int,
-            nh: int, w: int, rgb_range: float, precision):
+            nh: int, w: int, rgb_range: float, precision,
+            tap_packed: bool):
     i = pl.program_id(1)
     P = scale * scale
     cp = P * nf
@@ -121,20 +133,38 @@ def _kernel(y_a, y_b, lc_ref, rc_ref, top_ref, bot_ref, w0_ref, b0_ref,
     ph = jnp.where((i == nh - 1) & (row_ids == rows - 1),
                    bot_ref[0, 0][None], ph)
 
-    # 3x3 phase-space conv, VALID over the (10, W+2) band -> (8, W)
-    acc = jnp.zeros((_BLOCK * w, P * 3), jnp.float32)
-    for dr in range(3):
-        for dc in range(3):
-            win = ph[dr:dr + _BLOCK, dc:dc + w].reshape(_BLOCK * w, cp)
-            acc = acc + jnp.dot(win.astype(band.dtype), k_ref[dr, dc],
-                                preferred_element_type=jnp.float32,
-                                precision=precision)
+    if tap_packed:
+        # 3x3 phase-space conv, VALID over the (10, W+2) band -> (8, W).
+        # ONE dot with the 9 taps packed onto the N axis, then 9 shifted
+        # slice-adds: the per-tap N=P*3 (48 at x4) padded 2.7x on the MXU
+        # and the 9 separate dots were most of the kernel's time; the
+        # tap-packed N=9*P*3 (432 -> 512 pad) runs ~1.8x fewer
+        # MXU-tile-equivalents.
+        rows_p, wp2 = ph.shape[0], ph.shape[1]
+        u = jnp.dot(ph.reshape(rows_p * wp2, cp).astype(band.dtype),
+                    k_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision).reshape(rows_p, wp2, 9 * P * 3)
+        acc = jnp.zeros((_BLOCK, w, P * 3), jnp.float32)
+        for dr in range(3):
+            for dc in range(3):
+                t = (dr * 3 + dc) * P * 3
+                acc = acc + u[dr:dr + _BLOCK, dc:dc + w, t:t + P * 3]
+        acc = acc.reshape(_BLOCK * w, P * 3)
+    else:
+        acc = jnp.zeros((_BLOCK * w, P * 3), jnp.float32)
+        for dr in range(3):
+            for dc in range(3):
+                win = ph[dr:dr + _BLOCK, dc:dc + w].reshape(_BLOCK * w, cp)
+                acc = acc + jnp.dot(win.astype(band.dtype), k_ref[dr, dc],
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)
     out = jnp.clip(acc, 0.0, rgb_range)
     out_ref[0] = out.reshape(_BLOCK, w, P * 3).astype(out_ref.dtype)
 
 
 def tail_band_fused(y, w0, b0, w1, b1, k, lc, rc, top, bot, *, scale: int,
-                    rgb_range: float, interpret: bool, precision=None):
+                    rgb_range: float, interpret: bool, precision=None,
+                    tap_packed: bool = True):
     """(B, H, W, nf) body output -> (B, H, W, s*s*3) clamped HR phase
     planes. H, W multiples of 8 (guaranteed by the model's pad-to-32)."""
     bsz, hh, w, nf = y.shape
@@ -147,8 +177,14 @@ def tail_band_fused(y, w0, b0, w1, b1, k, lc, rc, top, bot, *, scale: int,
     yp = jnp.pad(yp, ((0, 0), (0, (nh + 2) * _BLOCK - yp.shape[1]),
                       (0, 0), (0, 0)), mode="edge")
 
+    if tap_packed:
+        # tap-packed phase-conv weight: (3, 3, cp, P*3) -> (cp, 9*P*3)
+        # with N index (dr*3+dc)*P*3 + c (see the kernel's slice-add)
+        k = k.transpose(2, 0, 1, 3).reshape(P * nf, 9 * P * 3)
+
     kern = functools.partial(_kernel, nf=nf, scale=scale, nh=nh, w=w,
-                             rgb_range=rgb_range, precision=precision)
+                             rgb_range=rgb_range, precision=precision,
+                             tap_packed=tap_packed)
     band = lambda off: pl.BlockSpec(  # noqa: E731
         (1, _BLOCK, w, nf), lambda b, i, o=off: (b, i + o, 0, 0),
         memory_space=pltpu.VMEM)
@@ -210,7 +246,8 @@ def _tail_band_impl(p: Params, x: jnp.ndarray, scale: int,
     lc, rc = lc[:, :, 0, :], rc[:, :, 0, :]  # (B, rows, cp)
     out = tail_band_fused(x, w0, b0, w1, b1, k, lc, rc, top, bot,
                           scale=scale, rgb_range=rgb_range,
-                          interpret=interpret, precision=precision)
+                          interpret=interpret, precision=precision,
+                          tap_packed=_TAP_PACKED)
     return pixel_shuffle_fast(out, scale)
 
 

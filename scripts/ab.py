@@ -64,7 +64,14 @@ def chain(fn, n, args, feed=_default_feed):
 
 def compare(variants, args, feed=_default_feed, n1=4, n2=16, trials=5,
             label_width=24, quiet=False):
-    """Interleaved A/B slope comparison; see module docstring."""
+    """Interleaved A/B slope comparison; see module docstring.
+
+    Per trial, variants run in ABBA order (forward then reversed) so a
+    linear drift component cancels inside the trial; the reported
+    number is the MEDIAN of per-trial slopes (min is biased when the
+    tunnel drifts between a variant's two chain lengths) and the delta
+    column is the median of per-trial PAIRED differences vs the first
+    variant — the statistic that survives drift."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -75,28 +82,35 @@ def compare(variants, args, feed=_default_feed, n1=4, n2=16, trials=5,
         if not quiet:
             print(f"  compiled {name}", flush=True)
 
-    t1 = {n: [] for n in names}
-    t2 = {n: [] for n in names}
+    per_trial = {n: [] for n in names}
     for _ in range(trials):
-        for name in names:  # interleave within the trial
+        t1 = {n: [] for n in names}
+        t2 = {n: [] for n in names}
+        order = names + names[::-1]  # ABBA
+        for name in order:
             t1[name].append(chain(variants[name], n1, args, feed))
-        for name in names:
+        for name in order:
             t2[name].append(chain(variants[name], n2, args, feed))
+        for name in names:
+            a = sum(t1[name]) / len(t1[name])
+            b = sum(t2[name]) / len(t2[name])
+            per_trial[name].append((b - a) / (n2 - n1))
 
-    slopes, spreads = {}, {}
+    slopes, spreads, deltas = {}, {}, {}
+    base_name = names[0]
     for name in names:
-        per = [(b - a) / (n2 - n1) for a, b in zip(t1[name], t2[name])]
-        per = [p for p in per if p > 0] or \
-            [min(t2[name]) / n2]  # all trials hiccuped: absolute fallback
-        slopes[name] = min(per)
-        spreads[name] = (max(per) - min(per)) / 2
-    base = slopes[names[0]]
+        ps = sorted(per_trial[name])
+        slopes[name] = ps[len(ps) // 2]
+        spreads[name] = (ps[-1] - ps[0]) / 2
+        d = sorted(p - q for p, q in zip(per_trial[name],
+                                         per_trial[base_name]))
+        deltas[name] = d[len(d) // 2]
     if not quiet:
         for name in names:
-            ratio = base / slopes[name] if slopes[name] else float("inf")
             print(f"{name:<{label_width}} {slopes[name] * 1e3:9.3f} ms "
-                  f"+- {spreads[name] * 1e3:6.3f}   x{ratio:5.2f} vs "
-                  f"{names[0]}", flush=True)
+                  f"+- {spreads[name] * 1e3:6.3f}   "
+                  f"delta {deltas[name] * 1e3:+7.3f} ms vs {base_name}",
+                  flush=True)
     return slopes
 
 
