@@ -102,8 +102,17 @@ _V5E = {
     "tail_bwd_limit": 13e6,
     # Packed-front BACKWARD (L=2): packed full-res adjoints + native-C
     # per-subgroup attention adjoint on a column-slab grid, vs
-    # packed_front_bwd_vmem_bytes.
-    "bwd_pf_budget": {2: 13e6},
+    # packed_front_bwd_vmem_bytes. r4 (scripts/ab_pf_bwd.py): the
+    # r3-snapshot kernel UNROLLED the subgroup loop and Mosaic overlapped
+    # every iteration's adjoint live set — 22.13M scoped at slab=32 (OOM
+    # at ANY sub), so training was silently broken on hardware. The
+    # kernel was rebuilt (image-major leaf staging + a fori subgroup
+    # walk + dead-pyramid scratch reuse): sub<=2 now compiles at 13.7M
+    # est, BUT measures no faster than the column-slab tiled backward at
+    # either the x4 or x2 width (ABBA paired deltas +0.4..+3 ms/branch-
+    # grad), so dispatch keeps the tiled backward; the kernel stays
+    # correctness-tested for future recalibration on other generations.
+    "bwd_pf_budget": {},
 }
 
 # device_kind prefix (lowercased) -> calibration

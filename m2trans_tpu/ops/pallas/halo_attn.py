@@ -166,6 +166,13 @@ _FORCE_SCHEDULE = _os.environ.get("M2T_ATTN_SCHEDULE") or None
 # vjp of the composition.
 _PALLAS_BWD = _os.environ.get("M2T_PALLAS_BWD", "1") != "0"
 
+# AD-context forward dispatch: True (default) keeps the custom_vjp fwd
+# rule off the full-width packed-front kernels (scoped-VMEM-marginal in
+# grad programs, r3). The COLUMN-SLAB variants (packed_front_tiled) were
+# re-budgeted robust in any program; False lets the AD forward use them
+# too — flip for within-process A/Bs (scripts/ab_ad_fwd.py).
+_AD_CONSERVATIVE = _os.environ.get("M2T_AD_CONSERVATIVE", "1") != "0"
+
 
 def _attend_serial(q_full, k_full, v_full, relw, *, block, halo, wc,
                    precision):
@@ -1482,7 +1489,7 @@ def _make_cascade_fused(has_add: bool):
 
         pft = (pick_packed_front_tiled(x.shape[0], x.shape[2],
                                        x.shape[-1], levels, block, halo)
-               if (not conservative
+               if ((not conservative or not _AD_CONSERVATIVE)
                    and x.shape[1] % (block * 2 ** levels) == 0) else None)
         if pft is not None:
             return packed_front_tiled_impl(

@@ -1815,8 +1815,13 @@ def _packed_front_bwd_kernel(*refs, block: int, halo: int, wc: int,
     cb = gcb // g
     c = cb * ns
 
-    # scratch layout: z pyramid (1+4+...+4^L), g pyramid (same), datt
-    # subbands (4^L), dz IWT (4^(L-1)+...+1)
+    # scratch layout: z pyramid (1+4+...+4^L), g pyramid (same),
+    # image-major staging (z leaf bf16, g leaf f32, dzc store f32). The
+    # z pyramid is DEAD once its leaf is staged image-major, and its
+    # level-l buffers have exactly the shapes the dz chain needs — the
+    # packed datt subbands reuse level L and the IWT ladder reuses
+    # levels L-1..0 (both (rows0>>l, wps>>l, gcb) == the dz shapes at
+    # that depth).
     pos = 0
     dwt_ls = []
     for l in range(levels + 1):
@@ -1826,13 +1831,9 @@ def _packed_front_bwd_kernel(*refs, block: int, halo: int, wc: int,
     for l in range(levels + 1):
         g_ls.append(scratch[pos:pos + 4 ** l])
         pos += 4 ** l
-    datt_ls = scratch[pos:pos + ns]
-    pos += ns
-    iwt_dz_ls = []
-    for l in range(levels):
-        cnt = 4 ** (levels - 1 - l)
-        iwt_dz_ls.append(scratch[pos:pos + cnt])
-        pos += cnt
+    z_img, g_img, datt_img = scratch[pos:pos + 3]
+    datt_ls = dwt_ls[levels]
+    iwt_dz_ls = [dwt_ls[levels - 1 - l] for l in range(levels)]
 
     def tile(va, vb, vc, vd):
         top = jnp.concatenate([va[0], vb[0][:, :hh]], axis=1)
@@ -1875,37 +1876,43 @@ def _packed_front_bwd_kernel(*refs, block: int, halo: int, wc: int,
                   for sidx in range(ns)]
         return jnp.concatenate(chunks, axis=-1)
 
-    dw_acc = drh_acc = drw_acc = None
-    for s0 in range(0, g, sub):
-        zsub = jnp.stack([unstack(dwt_ls[levels], img)
-                          for img in range(s0, s0 + sub)],
-                         axis=0).astype(jnp.bfloat16)
-        gsub = jnp.stack([unstack(g_ls[levels], img)
-                          for img in range(s0, s0 + sub)],
-                         axis=0).astype(jnp.float32)
+    # Stage the coarse leaves IMAGE-MAJOR (dim 0 = image): the subgroup
+    # walk below then slices images on the SUBLANE-major leading dim with
+    # a dynamic pl.ds — legal where dynamic LANE offsets are not — and,
+    # crucially, runs as a lax.fori_loop, so only ONE subgroup's
+    # attention-adjoint live set exists at a time. The r3-snapshot form
+    # unrolled the subgroup loop in Python and Mosaic overlapped every
+    # iteration's live set: 22.13M scoped at slab=32 (OOM at any sub;
+    # scripts/ab_pf_bwd.py r4 calibration).
+    for img in range(g):
+        z_img[img, :, :, :] = unstack(dwt_ls[levels],
+                                      img).astype(z_img.dtype)
+        g_img[img, :, :, :] = unstack(g_ls[levels],
+                                      img).astype(g_img.dtype)
+
+    def subgroup_step(it, carry):
+        dw_a, drh_a, drw_a = carry
+        s0 = it * sub
+        zsub = z_img[pl.ds(s0, sub), :, :, :]
+        gsub = g_img[pl.ds(s0, sub), :, :, :]
         dzc, dw_c, drh_c, drw_c = _attn_core_adjoint(
             zsub, gsub, wqkv, relh, relw, block=block, halo=halo, wc=wc,
             precision=precision)
-        dw_acc = dw_c if dw_acc is None else dw_acc + dw_c
-        drh_acc = drh_c if drh_acc is None else drh_acc + drh_c
-        drw_acc = drw_c if drw_acc is None else drw_acc + drw_c
-        # restack per-image dzc chunks into the packed dz subbands
-        # (slice through 128-wide intermediates when C > 128)
-        for k, img in enumerate(range(s0, s0 + sub)):
-            if c > 128:
-                d128 = [dzc[k][:, :, q * 128:(q + 1) * 128]
-                        for q in range(c // 128)]
+        datt_img[pl.ds(s0, sub), :, :, :] = dzc.astype(datt_img.dtype)
+        return dw_a + dw_c, drh_a + drh_c, drw_a + drw_c
 
-                def chunk(sidx, d128=d128):
-                    p0 = sidx * cb
-                    return d128[p0 // 128][:, :, p0 % 128:p0 % 128 + cb]
-            else:
-                def chunk(sidx, k=k):
-                    return dzc[k][:, :, sidx * cb:(sidx + 1) * cb]
+    dw_acc, drh_acc, drw_acc = jax.lax.fori_loop(
+        0, g // sub, subgroup_step,
+        (jnp.zeros((c, 3 * c), jnp.float32),
+         jnp.zeros((block + 2 * halo, c // 2), jnp.float32),
+         jnp.zeros((block + 2 * halo, c // 2), jnp.float32)))
 
-            for sidx in range(ns):
-                datt_ls[_rev4(sidx, levels)][
-                    :, :, img * cb:(img + 1) * cb] = chunk(sidx)
+    # restack per-image datt chunks into the packed dz subbands (static
+    # lane slices only — outside the dynamic loop)
+    for img in range(g):
+        for sidx in range(ns):
+            datt_ls[_rev4(sidx, levels)][:, :, img * cb:(img + 1) * cb] \
+                = datt_img[img, :, :, sidx * cb:(sidx + 1) * cb]
 
     # packed IWT of the dz subbands (adjoint of the orthonormal DWT)
     cur = datt_ls
@@ -1942,8 +1949,19 @@ def _packed_front_bwd_kernel(*refs, block: int, halo: int, wc: int,
         drw_ref[:] = drw_ref[:] + drw_acc.astype(drw_ref.dtype)
 
 
-def packed_front_bwd_vmem_bytes(slab, cb, g, block, halo, levels):
-    """Estimate for the packed-front backward kernel at slab width."""
+def packed_front_bwd_vmem_bytes(slab, cb, g, block, halo, levels,
+                                sub=None):
+    """Estimate for the packed-front backward kernel at slab width.
+
+    r4: counts the image-major staging buffers AND one subgroup's
+    attention-adjoint live set (the fori walk holds exactly one at a
+    time; ~14 c-wide f32 (sub, win, wp) tensors live through the
+    reverse chain: qkv 3c, kv windows 2c, kb c, vb c, dkv 2c, dqkv 3c,
+    dq c, dzc c). The r3-snapshot estimator omitted the adjoint
+    entirely and under-read the real footprint 2x (22.13M measured vs
+    10.9M estimated at slab=32 sub=4 — scripts/ab_pf_bwd.py)."""
+    if sub is None:
+        sub = min(4, g)
     sf = 2 ** levels
     win = block + 2 * halo
     gcb = g * cb
@@ -1953,6 +1971,7 @@ def packed_front_bwd_vmem_bytes(slab, cb, g, block, halo, levels):
     wps = slab + 2 * hs
     wc = slab // sf
     c = cb * 4 ** levels
+    wpc = wc + 2 * halo
     total = 2 * 2 * 4 * blk_full * slab * _lanes(gcb)   # 4 views, dbl-buf
     total += 2 * 2 * blk_full * slab * _lanes(gcb)      # ga block
     total += 2 * 2 * (blk_full + 2 * hs) * wps * _lanes(gcb)  # dze out
@@ -1961,11 +1980,12 @@ def packed_front_bwd_vmem_bytes(slab, cb, g, block, halo, levels):
         total += 4 * (rows0 >> l) * (wps >> l) * _lanes(gcb * 4 ** l)
     for l in range(levels + 1):                         # g pyramid
         total += 4 * (blk_full >> l) * (slab >> l) * _lanes(gcb * 4 ** l)
-    total += 4 * rows0 // sf * (wc + 2 * halo) * _lanes(gcb) * 16  # datt
-    for l in range(levels):                             # dz IWT
-        total += 4 * ((win * 2) << l) * (((wc + 2 * halo) * 2) << l) \
-            * _lanes(gcb)
-    total += 4 * c * 3 * c                              # dW accumulator
+    # (the packed datt subbands and the dz IWT ladder REUSE the dead
+    # z-pyramid refs — no extra scratch terms for them)
+    total += g * win * wpc * _lanes(c) * (2 + 4)        # z_img/datt_img
+    total += g * block * wc * _lanes(c) * 4             # g_img
+    total += sub * win * wpc * _lanes(c) * 4 * 14       # adjoint live
+    total += 4 * c * 3 * c                              # dW carry
     return total
 
 
@@ -1982,21 +2002,22 @@ def pick_packed_front_bwd(bsz: int, w: int, cb: int, levels: int,
     blk_full = block * sf
     if g < 2 or bsz % g or w % blk_full:
         return None
+    # prefer the widest slab, then the largest subgroup that fits: a
+    # wider slab amortizes the packed full-res stages over more columns
+    # (the kernel's whole point); sub only sizes the per-iteration
+    # attention-adjoint live set inside the fori walk
     best = None
     sl = blk_full
     while sl <= w:
-        if packed_front_bwd_vmem_bytes(sl, cb, g, block, halo,
-                                       levels) <= budget:
-            best = sl
+        for sub in (4, 2, 1):
+            if sub > g or g % sub:
+                continue
+            if packed_front_bwd_vmem_bytes(sl, cb, g, block, halo,
+                                           levels, sub) <= budget:
+                best = (g, sub, sl)
+                break
         sl += blk_full
-    if best is None:
-        return None
-    # sub=4: two unrolled subgroup iterations instead of four — the
-    # compiler overlaps independent unrolled chains, and four overlapped
-    # attention-adjoint live sets measured 19.34M scoped at slab=32.
-    # Clamp to the pack group: cb=64 shapes give g=2 and the kernel's
-    # subgroup loop must not run past the packed lane buffers.
-    return g, min(4, g), best
+    return best
 
 
 def packed_front_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *,
@@ -2075,10 +2096,11 @@ def packed_front_bwd_impl(x, x_add, s, t, w_qkv, rel_h, rel_w, gout, *,
         scratch += [pltpu.VMEM(((blk_full >> l), (slab >> l), gcb),
                                jnp.float32)] * (4 ** l)
     wpc = wcs + 2 * halo
-    scratch += [pltpu.VMEM((win, wpc, gcb), jnp.float32)] * ns  # datt
-    for l in range(levels):  # dz IWT
-        scratch += [pltpu.VMEM(((win * 2) << l, (wpc * 2) << l, gcb),
-                               jnp.float32)] * (4 ** (levels - 1 - l))
+    # image-major leaf staging (the fori subgroup walk slices dim 0 —
+    # see the kernel; the dz chain reuses the dead z-pyramid refs)
+    scratch += [pltpu.VMEM((g, win, wpc, c), x.dtype),        # z_img
+                pltpu.VMEM((g, block, wcs, c), jnp.float32),  # g_img
+                pltpu.VMEM((g, win, wpc, c), jnp.float32)]    # datt_img
 
     out_shapes = [
         jax.ShapeDtypeStruct((bp, nh, ext, nwb, wps, gcb), x.dtype),
