@@ -125,22 +125,53 @@ def _cftm_sharded(p: Params, x: jnp.ndarray, *, n: int,
                   ) -> jnp.ndarray:
     """One CFTM on a shard: halo-extend, frame-global IN, the usual branch
     cascade, crop back to the interior. Mirrors models.m2trans.cftm_apply
-    (reference CFTM.forward :132-164) with distributed statistics."""
+    (reference CFTM.forward :132-164) with distributed statistics.
+
+    bf16+Pallas shards route each branch through cftm_branch_fused — the
+    SAME packed/banded/column-slab-tiled dispatch (and Pallas custom_vjp
+    backward) the single-device path uses (VERDICT r3 item 3: per-shard
+    frame widths exceed the banded gate on exactly the large frames
+    sharding exists for, and the column-slab tiled cascade is the
+    round-3 win there). The normalization is already applied globally,
+    so the branch runs with an identity affine (s=1, t=0: out = B(z)+z,
+    bit-matching the previous branch(z)+z composition)."""
     m = HALO_ROWS
     xe = _exchange_rows(x, m, n, fill="zeros")
     mask = _edge_halo_mask(xe.shape[1], m, n, xe.dtype, x.shape[1])
-    branch = make_branch_fn(p, policy, block=block, halo=halo)
+    use_fused = policy.use_pallas and policy.dtype == jnp.bfloat16
 
     xn = _instance_norm_global(xe, m, n) * mask
     x1, x2, x3, x4 = jnp.split(xn, 4, axis=-1)
 
-    x1 = (branch("attn1", x1, 0) + x1) * mask
-    x2 = (x2 + x1) * 0.5
-    x2 = (branch("attn2", x2, 1) + x2) * mask
-    x3 = (x3 + x2) * 0.5
-    x3 = (branch("attn3", x3, 2) + x3) * mask
-    x4 = (x4 + x3) * 0.5
-    x4 = (branch("attn4", x4, 2) + x4) * mask
+    if use_fused:
+        from m2trans_tpu.ops.pallas.halo_attn import cftm_branch_fused
+
+        bsz, cb = x.shape[0], x.shape[-1] // 4
+        ones = jnp.ones((bsz, cb), jnp.float32)
+
+        def fused(name, z, levels, s):
+            c = cb * 4 ** levels
+            w_qkv = p[name]["qkv_w"].reshape(c, 3 * c).astype(policy.dtype)
+            return cftm_branch_fused(
+                z.astype(policy.dtype), w_qkv, p[name]["rel_h"],
+                p[name]["rel_w"], ones * s, ones * 0.0, r=0.0,
+                block=block, halo=halo, levels=levels)
+
+        # cascade averages folded into the kernel affine: z=(xk+prev)/2
+        # = (xk + prev) * 0.5, so feed the XLA sum with s=0.5
+        x1 = fused("attn1", x1, 0, 1.0) * mask
+        x2 = fused("attn2", x2 + x1, 1, 0.5) * mask
+        x3 = fused("attn3", x3 + x2, 2, 0.5) * mask
+        x4 = fused("attn4", x4 + x3, 2, 0.5) * mask
+    else:
+        branch = make_branch_fn(p, policy, block=block, halo=halo)
+        x1 = (branch("attn1", x1, 0) + x1) * mask
+        x2 = (x2 + x1) * 0.5
+        x2 = (branch("attn2", x2, 1) + x2) * mask
+        x3 = (x3 + x2) * 0.5
+        x3 = (branch("attn3", x3, 2) + x3) * mask
+        x4 = (x4 + x3) * 0.5
+        x4 = (branch("attn4", x4, 2) + x4) * mask
 
     xc = jnp.concatenate([x1, x2, x3, x4], axis=-1)
     ff = conv2d(xc, p["ff"]["w"], p["ff"]["b"], padding="zeros",

@@ -88,6 +88,47 @@ def test_sharded_bf16_pallas_path_composes(rng):
     assert np.abs(got - want).mean() < 2e-2
 
 
+def test_sharded_wide_frame_engages_tiled_kernels(rng, monkeypatch):
+    """VERDICT r3 item 3: the sharded path must inherit the single-device
+    kernel dispatch. At serving-scale per-shard widths (W past the banded
+    gate) the column-slab tiled cascade must ENGAGE inside shard_map —
+    asserted by counting calls — and the output must still match the
+    single-device bf16 forward."""
+    import m2trans_tpu.ops.pallas.halo_attn as ha
+    from m2trans_tpu.models.m2trans import ComputePolicy
+
+    cfg = Config(scale=4, n_feats=64, n_blocks=1)
+    params = init_m2trans(jax.random.PRNGKey(5), cfg)
+    pol = ComputePolicy(dtype=jnp.bfloat16, precision=None, use_pallas=True)
+    n = 2
+    w = 512  # past the banded gate at every level (see fused_gate_ok)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32 * n, w, 3)).astype(np.float32))
+
+    calls = []
+    real = ha._cascade_tiled_impl
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ha, "_cascade_tiled_impl", counting)
+    want = np.asarray(m2trans_apply(params, x, cfg, policy=pol),
+                      dtype=np.float32)
+    n_single = len(calls)
+    assert n_single > 0, "test premise: W=512 must dispatch tiled kernels"
+    calls.clear()
+    # fresh trace per test run: the sharded forward caches compiled fns
+    from m2trans_tpu.parallel import spatial as sp
+
+    sp._build_sharded_fwd.cache_clear()
+    got = np.asarray(spatial_sharded_forward(params, x, cfg,
+                                             mesh=make_mesh(n), policy=pol),
+                     dtype=np.float32)
+    assert len(calls) > 0, "sharded path must engage the tiled kernels"
+    assert got.shape == want.shape
+    assert np.abs(got - want).mean() < 2e-2
+
+
 # ---------------------------------------------------------------------------
 # automatic large-frame dispatch (VERDICT r1 item 7)
 # ---------------------------------------------------------------------------
