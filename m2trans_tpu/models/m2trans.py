@@ -347,10 +347,15 @@ def _packed_body_ok(bsz: int, h: int, w: int, cb: int, block: int,
                                    2) <= _banded_limit(2))
 
 
-# ff-conv formulation inside the packed body flow (perf experiment knob;
-# both are exact): True = slot-scattered packed 512-lane conv, False =
-# per-CFTM unpack -> per-image conv -> repack
-_FF_PACKED = False
+# ff-conv formulation inside the packed body flow (perf experiment knob):
+# "unpack"  per-CFTM unpack -> per-image conv -> repack (r3 default);
+# "scatter" slot-scattered packed 512-lane conv (exact, 8x FLOPs —
+#           measured slower overall);
+# "fused"   one Pallas kernel: packed band in -> per-image 3x3 conv via
+#           f32 staging -> packed band out + residual (r4);
+# "skip"    ABLATION ONLY (wrong values): bypass ff entirely to expose
+#           the unpack+conv+pack cost in scripts/ab_budget.py.
+_FF_MODE = "unpack"
 
 
 def _pack_ff_weight(w: jnp.ndarray, b: jnp.ndarray, g: int = 8,
@@ -569,7 +574,16 @@ def _cftm_apply_packed_core(p: Params, xp: jnp.ndarray,
     o4 = branch_l2("attn4", x4, s4, t4)
 
     oc = jnp.concatenate([o1, o2, o3, o4], axis=-1)
-    if _FF_PACKED:
+    if _FF_MODE == "skip":  # ablation: expose the ff-block cost
+        return oc + xp
+    if _FF_MODE == "fused":
+        from m2trans_tpu.ops.pallas.ff_packed import packed_ff_conv
+
+        return packed_ff_conv(
+            oc, xp, p["ff"]["w"].astype(policy.dtype),
+            p["ff"]["b"].astype(jnp.float32), g=g,
+            interpret=kw["interpret"], precision=policy.precision)
+    if _FF_MODE == "scatter":
         w_ff, b_ff = _pack_ff_weight(p["ff"]["w"].astype(policy.dtype),
                                      p["ff"]["b"].astype(jnp.float32), g)
         # 9 shifted matmuls instead of conv_general_dilated: the batch-1
