@@ -44,21 +44,30 @@ from m2trans_tpu.models.medclip.model import (
 from m2trans_tpu.ops.resize import bicubic_resize
 
 
-def _random_aligned_crops(key, x, y, n, size):
-    """(n, B, size, size, C) aligned random crops of x and y."""
-    bsz, h, w, c = x.shape
+def crop_offsets(key, bsz, h, w, n, size):
+    """(n, B) y/x origins for the aligned random crops — the shared
+    randomness both sides of the staged loss must agree on."""
     keys = jax.random.split(key, 2)
     ys = jax.random.randint(keys[0], (n, bsz), 0, h - size)
     xs = jax.random.randint(keys[1], (n, bsz), 0, w - size)
+    return ys, xs
+
+
+def _crops_at(x, ys, xs, size):
+    """(n, B, size, size, C) crops of x at the given per-image origins."""
+    c = x.shape[-1]
 
     def crop_one(img, oy, ox):
         return jax.lax.dynamic_slice(img, (oy, ox, 0), (size, size, c))
 
-    def crop_batch(oys, oxs):
-        return (jax.vmap(crop_one)(x, oys, oxs),
-                jax.vmap(crop_one)(y, oys, oxs))
+    return jax.vmap(lambda oys, oxs: jax.vmap(crop_one)(x, oys, oxs))(ys, xs)
 
-    return jax.vmap(crop_batch)(ys, xs)
+
+def _random_aligned_crops(key, x, y, n, size):
+    """(n, B, size, size, C) aligned random crops of x and y."""
+    bsz, h, w, _ = x.shape
+    ys, xs = crop_offsets(key, bsz, h, w, n, size)
+    return _crops_at(x, ys, xs, size), _crops_at(y, ys, xs, size)
 
 
 def semantic_loss(
@@ -122,6 +131,75 @@ def semantic_loss(
         # quirk 2: only the last patch contributes, scaled 1/N
         loss = jnp.sum(per_patch[-1]) / n_patches
         # quirk 1: value only, no gradient
+        return jax.lax.stop_gradient(loss)
+    return jnp.sum(per_patch) / n_patches
+
+
+# --- staged formulation -------------------------------------------------
+#
+# d clip/d sr does not flow through the text encoder or the HR-side
+# vision encoder — both are constants w.r.t. sr. The staged API lets a
+# split train step (e.g. scripts/bench_clip_train.py's exact-split
+# formulation) keep them OUT of the differentiated program entirely:
+# the BERT token-embedding table (89 MB f32 — the profiled ~30 ms/step
+# of copies, NOTES_ROUND4 §6) and half the Swin patch batch then never
+# enter the grad program. Composition reproduces ``semantic_loss``
+# exactly (same crop randomness via ``crop_offsets``; the only change
+# is encoding sr/hr patches in two P*B batches instead of one 2*P*B —
+# LayerNorm is per-token, so values match to f32 reduction noise).
+
+
+def _patch_stack(img, ys, xs, n_patches, clip_size):
+    """[resized] + aligned crops -> (P*B, clip, clip, 3) patch stack."""
+    if img.shape[-1] != 3:  # gray -> 3ch repeat (reference losses.py:47-49)
+        img = jnp.repeat(img, 3, axis=-1)
+    patches = [bicubic_resize(img, (clip_size, clip_size))]
+    if n_patches > 1:
+        c = _crops_at(img, ys, xs, clip_size)
+        patches += [c[i] for i in range(n_patches - 1)]
+    return jnp.concatenate(patches, axis=0)
+
+
+def clip_text_embed(medclip_params, mcfg, input_ids, attention_mask, *,
+                    faithful=False, token_type_ids=None):
+    """Text-side stage: caption embedding t (B, D) in f32."""
+    if faithful:  # quirk 3: the "text" is the zero token sequence
+        ids = (token_type_ids if token_type_ids is not None
+               else jnp.zeros_like(input_ids))
+        t = encode_text(medclip_params, ids, attention_mask, mcfg)
+    else:
+        t = encode_text(medclip_params, input_ids, attention_mask, mcfg)
+    return t.astype(jnp.float32)
+
+
+def clip_image_sims(medclip_params, mcfg, img, ys, xs, t, *,
+                    n_patches=3, clip_size=224):
+    """Vision-side stage: per-patch similarities (P, B) in f32."""
+    bsz = img.shape[0]
+    if min(img.shape[1], img.shape[2]) <= clip_size:
+        n_patches = 1  # same small-image fallback as semantic_loss
+    pdt = medclip_params["vision_proj"]["w"].dtype
+    stack = _patch_stack(img, ys, xs, n_patches, clip_size).astype(pdt)
+    emb = encode_image(medclip_params, stack, mcfg)  # already normalized
+    emb = emb.reshape(n_patches, bsz, -1).astype(jnp.float32)
+    return jnp.einsum("pbd,bd->pb", emb, t)
+
+
+def semantic_loss_staged(medclip_params, mcfg, sr, ys, xs, t, sim_y, *,
+                         n_patches=3, clip_size=224, faithful=False):
+    """Grad-side stage: only the SR-side vision encoder is inside.
+
+    ``t`` from :func:`clip_text_embed`, ``sim_y`` from
+    :func:`clip_image_sims` on hr, ``ys``/``xs`` from
+    :func:`crop_offsets` with the same key semantics as semantic_loss.
+    """
+    if min(sr.shape[1], sr.shape[2]) <= clip_size:
+        n_patches = 1
+    sim_x = clip_image_sims(medclip_params, mcfg, sr, ys, xs, t,
+                            n_patches=n_patches, clip_size=clip_size)
+    per_patch = jnp.abs(sim_x - sim_y)  # (P, B)
+    if faithful:
+        loss = jnp.sum(per_patch[-1]) / n_patches
         return jax.lax.stop_gradient(loss)
     return jnp.sum(per_patch) / n_patches
 

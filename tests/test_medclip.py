@@ -148,6 +148,57 @@ def test_semantic_loss_modes(tiny_loss, rng):
     np.testing.assert_allclose(float(f1), float(f2), atol=1e-7)
 
 
+def test_semantic_loss_staged_matches_monolithic(tiny_loss, rng):
+    """The staged formulation (text + hr-side encoders hoisted out of the
+    grad program) composes to exactly semantic_loss, values and d/d sr."""
+    from m2trans_tpu.losses.semantic import (
+        clip_image_sims,
+        clip_text_embed,
+        crop_offsets,
+        semantic_loss_staged,
+    )
+
+    params, mcfg = tiny_loss
+    sr = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    hr = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 128, (2, 8)).astype(np.int32))
+    mask = jnp.ones((2, 8), jnp.int32)
+    key = jax.random.PRNGKey(7)
+    kw = dict(n_patches=3, clip_size=56)
+
+    for faithful in (False, True):
+        ref = semantic_loss(params, mcfg, sr, hr, ids, mask, key,
+                            faithful=faithful, **kw)
+
+        # const stage (would be a separate fwd-only jit in production)
+        ys, xs = crop_offsets(key, 2, 64, 64, kw["n_patches"] - 1,
+                              kw["clip_size"])
+        t = clip_text_embed(params, mcfg, ids, mask, faithful=faithful)
+        sim_y = clip_image_sims(params, mcfg, hr, ys, xs, t, **kw)
+
+        # grad stage
+        fn = lambda s: semantic_loss_staged(  # noqa: E731
+            params, mcfg, s, ys, xs, t, sim_y, faithful=faithful, **kw)
+        np.testing.assert_allclose(float(fn(sr)), float(ref),
+                                   rtol=2e-5, atol=2e-6)
+        if not faithful:
+            g_ref = jax.grad(lambda s: semantic_loss(
+                params, mcfg, s, hr, ids, mask, key, **kw))(sr)
+            g_st = jax.grad(fn)(sr)
+            np.testing.assert_allclose(np.asarray(g_st),
+                                       np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-6)
+
+    # small-image fallback (n_patches -> 1) stays consistent too
+    sr_s = sr[:, :56, :56]
+    hr_s = hr[:, :56, :56]
+    ref = semantic_loss(params, mcfg, sr_s, hr_s, ids, mask, key, **kw)
+    t = clip_text_embed(params, mcfg, ids, mask)
+    sim_y = clip_image_sims(params, mcfg, hr_s, ys, xs, t, **kw)
+    st = semantic_loss_staged(params, mcfg, sr_s, ys, xs, t, sim_y, **kw)
+    np.testing.assert_allclose(float(st), float(ref), rtol=2e-5, atol=2e-6)
+
+
 def test_semantic_loss_fn_tokenize_and_train_step(tiny_loss, rng, tmp_path):
     """SemanticLossFn plugs into the jitted train step end-to-end."""
     from transformers import BertTokenizerFast
