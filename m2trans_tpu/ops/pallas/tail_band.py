@@ -55,6 +55,12 @@ _BLOCK = 8  # LR rows per band
 # (rows, W+2, 432) tap tensor cost more than the MXU padding they save.
 _TAP_PACKED = False
 
+# ABLATION ONLY (wrong values, dataflow preserved): names of kernel
+# stages to null out, for intra-kernel cost attribution through
+# scripts/ab_tail_parts.py — {"stage0", "stage1", "gelu", "phconv",
+# "edges"}.
+_ABLATE = frozenset()
+
 
 # Odd minimax-style polynomial erf: x * P7(x^2) on |x| <= 3, clamped
 # outside (erf(3) = 1 - 2.2e-5). Max abs err 9.6e-5 over all x — below
@@ -97,43 +103,56 @@ def _kernel(y_a, y_b, lc_ref, rc_ref, top_ref, bot_ref, w0_ref, b0_ref,
 
     band = jnp.concatenate([y_a[0], y_b[0, :2]], axis=0)  # (10, W, nf)
     rows = band.shape[0]
+    gelu = (lambda v: v) if "gelu" in _ABLATE else _gelu
 
     # stage pipeline -> (10, W, P*nf) phase band (f32 — Mosaic strided /
     # small-dim value ops are 32-bit-safe; the dots run single-pass
     # regardless under default precision)
     flat = band.reshape(rows * w, nf)
-    h = jnp.dot(flat, w0_ref[:], preferred_element_type=jnp.float32,
-                precision=precision)
-    h = _gelu(h + b0_ref[:].astype(jnp.float32))
+    if "stage0" in _ABLATE:  # ablation: channel-tile instead of the dot
+        h = jnp.concatenate(
+            [flat.astype(jnp.float32)] * (w0_ref.shape[1] // nf), axis=-1)
+    else:
+        h = jnp.dot(flat, w0_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
+        h = gelu(h + b0_ref[:].astype(jnp.float32))
     if scale == 4:
-        # shared c1 on each stage-1 group: Mosaic rejects lane-splitting
-        # reshapes outright (any dtype), so apply it as four group dots
-        # over static lane slices — K=64-clean, intrinsic MACs only
-        b1f = b1_ref[:].astype(jnp.float32)
-        parts = []
-        for grp in range(4):
-            hg = h[:, grp * nf:(grp + 1) * nf].astype(band.dtype)
-            og = jnp.dot(hg, w1_ref[:], preferred_element_type=jnp.float32,
-                         precision=precision)
-            parts.append(_gelu(og + b1f))
-        h = jnp.concatenate(parts, axis=-1)
+        if "stage1" in _ABLATE:  # ablation: channel-tile
+            h = jnp.concatenate([h] * 4, axis=-1)
+        else:
+            # shared c1 on each stage-1 group: Mosaic rejects lane-
+            # splitting reshapes outright (any dtype), so apply it as
+            # four group dots over static lane slices — K=64-clean,
+            # intrinsic MACs only
+            b1f = b1_ref[:].astype(jnp.float32)
+            parts = []
+            for grp in range(4):
+                hg = h[:, grp * nf:(grp + 1) * nf].astype(band.dtype)
+                og = jnp.dot(hg, w1_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+                parts.append(gelu(og + b1f))
+            h = jnp.concatenate(parts, axis=-1)
     mid = h.reshape(rows, w, cp)
 
     # splice the precomputed reflect-remapped edge columns (f32 inputs),
     # then the top/bottom remapped rows on the frame's first/last band
     ph = jnp.pad(mid, ((0, 0), (1, 1), (0, 0)))
-    lc = lc_ref[0, pl.ds(i * _BLOCK, rows), :]  # (rows, cp)
-    rc = rc_ref[0, pl.ds(i * _BLOCK, rows), :]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w + 2, 1), 1)
-    ph = jnp.where(col_ids == 0, lc[:, None, :], ph)
-    ph = jnp.where(col_ids == w + 1, rc[:, None, :], ph)
+    if "edges" not in _ABLATE:
+        lc = lc_ref[0, pl.ds(i * _BLOCK, rows), :]  # (rows, cp)
+        rc = rc_ref[0, pl.ds(i * _BLOCK, rows), :]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w + 2, 1), 1)
+        ph = jnp.where(col_ids == 0, lc[:, None, :], ph)
+        ph = jnp.where(col_ids == w + 1, rc[:, None, :], ph)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-    ph = jnp.where((i == 0) & (row_ids == 0), top_ref[0, 0][None], ph)
-    ph = jnp.where((i == nh - 1) & (row_ids == rows - 1),
-                   bot_ref[0, 0][None], ph)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+        ph = jnp.where((i == 0) & (row_ids == 0), top_ref[0, 0][None], ph)
+        ph = jnp.where((i == nh - 1) & (row_ids == rows - 1),
+                       bot_ref[0, 0][None], ph)
 
-    if tap_packed:
+    if "phconv" in _ABLATE:  # ablation: cheap slice instead of the conv
+        acc = ph[1:1 + _BLOCK, 1:1 + w, :P * 3].reshape(_BLOCK * w, P * 3)
+    elif tap_packed:
         # 3x3 phase-space conv, VALID over the (10, W+2) band -> (8, W).
         # ONE dot with the 9 taps packed onto the N axis, then 9 shifted
         # slice-adds: the per-tap N=P*3 (48 at x4) padded 2.7x on the MXU

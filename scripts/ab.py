@@ -35,6 +35,23 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def fresh(fn):
+    """Wrap fn in a NEW function object before jit/lower.
+
+    jax's global trace cache keys on the function object: lowering the
+    SAME ``fwd`` twice serves the first trace, so monkeypatched module
+    attributes (the ablation mechanism) are never re-read — every
+    variant silently compiles the FIRST variant's program. This voided
+    a whole batch of round-4 ablations (see NOTES_ROUND5 "measurement
+    layer rebuild"). Any script that traces one function under several
+    patch states MUST wrap each trace in fresh().
+    """
+    def wrapper(*a, **k):
+        return fn(*a, **k)
+    wrapper.__name__ = getattr(fn, "__name__", "fn") + "_fresh"
+    return wrapper
+
+
 def _default_feed(prev, args):
     """Data-dependence glue: nudge the first array arg by a scalar of the
     previous output (1e-9 keeps values numerically unchanged in bf16)."""
@@ -110,6 +127,80 @@ def compare(variants, args, feed=_default_feed, n1=4, n2=16, trials=5,
             print(f"{name:<{label_width}} {slopes[name] * 1e3:9.3f} ms "
                   f"+- {spreads[name] * 1e3:6.3f}   "
                   f"delta {deltas[name] * 1e3:+7.3f} ms vs {base_name}",
+                  flush=True)
+    return slopes
+
+
+def compare_fori(bodies, x0, n1=4, n2=32, trials=6, label_width=24,
+                 quiet=False):
+    """Device-loop variant of :func:`compare`: each body is a traceable
+    x -> x step; the chain runs INSIDE one jit via lax.fori_loop, so a
+    whole chain costs ONE tunnel dispatch. The slope between two loop
+    lengths is pure device time per iteration.
+
+    Use this instead of compare() when per-iteration device time may be
+    below the tunnel's per-call dispatch overhead (~6 ms observed) —
+    compare()'s python-loop chains floor there and every variant
+    measures alike (the round-4 'everything ablates to ~0' artifact).
+
+    Caveat: XLA may hoist loop-invariant (param-derived) work out of the
+    loop, so per-iter numbers exclude one-time weight prep — the right
+    accounting for steady-state serving/training, but not for one-shot
+    latency.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))  # warm the tunnel
+    names = list(bodies)
+    progs = {}
+    for name in names:
+        body = bodies[name]
+        for n in (n1, n2):
+            progs[name, n] = jax.jit(
+                lambda x, body=body, n=n: lax.fori_loop(
+                    0, n, lambda i, xx: body(xx), x))
+            np.asarray(jax.tree_util.tree_leaves(
+                progs[name, n](x0))[0].reshape(-1)[0])  # compile+run
+        if not quiet:
+            print(f"  compiled {name}", flush=True)
+
+    def run(name, n):
+        t0 = time.perf_counter()
+        out = progs[name, n](x0)
+        jax.tree_util.tree_map(np.asarray, out)
+        return time.perf_counter() - t0
+
+    per_trial = {n: [] for n in names}
+    for _ in range(trials):
+        t1 = {n: [] for n in names}
+        t2 = {n: [] for n in names}
+        order = names + names[::-1]  # ABBA
+        for name in order:
+            t1[name].append(run(name, n1))
+        for name in order:
+            t2[name].append(run(name, n2))
+        for name in names:
+            a = sum(t1[name]) / len(t1[name])
+            b = sum(t2[name]) / len(t2[name])
+            per_trial[name].append((b - a) / (n2 - n1))
+
+    slopes, spreads, deltas = {}, {}, {}
+    base = names[0]
+    for name in names:
+        ps = sorted(per_trial[name])
+        slopes[name] = ps[len(ps) // 2]
+        spreads[name] = (ps[-1] - ps[0]) / 2
+        d = sorted(p - q
+                   for p, q in zip(per_trial[name], per_trial[base]))
+        deltas[name] = d[len(d) // 2]
+    if not quiet:
+        for name in names:
+            print(f"{name:<{label_width}} {slopes[name] * 1e3:9.3f} ms "
+                  f"+- {spreads[name] * 1e3:6.3f}   "
+                  f"delta {deltas[name] * 1e3:+7.3f} ms vs {base}",
                   flush=True)
     return slopes
 

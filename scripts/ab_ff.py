@@ -23,7 +23,7 @@ from m2trans_tpu.models import (  # noqa: E402
     policy_from_config,
 )
 import m2trans_tpu.models.m2trans as mm  # noqa: E402
-from scripts.ab import compare  # noqa: E402
+from scripts.ab import fresh, compare  # noqa: E402
 
 
 def main():
@@ -39,7 +39,7 @@ def main():
         return xx * 0.999 + y.astype(jnp.float32).mean() * 1e-3
 
     mm._FF_PACKED = True
-    a = jax.jit(fwd).lower(x).compile()
+    a = jax.jit(fresh(fwd)).lower(x).compile()
     mm._FF_PACKED = False
     b = jax.jit(lambda xx: fwd(xx) + 0.0).lower(x).compile()
     mm._FF_PACKED = True

@@ -21,7 +21,7 @@ from m2trans_tpu.models import (  # noqa: E402
     m2trans_apply,
     policy_from_config,
 )
-from scripts.ab import compare  # noqa: E402
+from scripts.ab import fresh, compare  # noqa: E402
 
 
 def main():
@@ -41,7 +41,7 @@ def main():
     for mode in ("unpack", "fused", "skip"):
         mm._FF_MODE = mode
         try:
-            variants[f"ff_{mode}"] = jax.jit(fwd).lower(x).compile()
+            variants[f"ff_{mode}"] = jax.jit(fresh(fwd)).lower(x).compile()
             print(f"  ff_{mode}: compiled OK", flush=True)
         except Exception as e:  # noqa: BLE001
             msg = str(e)

@@ -22,7 +22,7 @@ from m2trans_tpu.models import (  # noqa: E402
     policy_from_config,
 )
 from m2trans_tpu.ops.pallas import halo_attn_packed as pk  # noqa: E402
-from scripts.ab import compare  # noqa: E402
+from scripts.ab import fresh, compare  # noqa: E402
 
 
 def main():
@@ -56,7 +56,7 @@ def main():
     del mm
     pk.pick_packed_front = gated_pf
     pk.pick_packed_front_tiled = gated_pft
-    a = jax.jit(fwd).lower(x).compile()
+    a = jax.jit(fresh(fwd)).lower(x).compile()
     pk.pick_packed_front = orig_pf
     pk.pick_packed_front_tiled = orig_pft
     b = jax.jit(lambda xx: fwd(xx) + 0.0).lower(x).compile()

@@ -17,7 +17,7 @@ from m2trans_tpu.models import (  # noqa: E402
     policy_from_config,
 )
 import m2trans_tpu.ops.pallas.tail_band as tb  # noqa: E402
-from scripts.ab import compare  # noqa: E402
+from scripts.ab import fresh, compare  # noqa: E402
 
 
 def main():
@@ -33,7 +33,7 @@ def main():
         return xx * 0.999 + y.astype(jnp.float32).mean() * 1e-3
 
     tb._TAP_PACKED = False
-    a = jax.jit(fwd).lower(x).compile()
+    a = jax.jit(fresh(fwd)).lower(x).compile()
     tb._TAP_PACKED = True
     b = jax.jit(lambda xx: fwd(xx) + 0.0).lower(x).compile()
 
