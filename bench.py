@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "x4_sr_output_megapixels_per_sec_per_chip", "value": N,
-   "unit": "MP/s", "vs_baseline": R}
+   "unit": "MP/s", "vs_baseline": R, ...}
 
 Recipe: flagship x4 model (n_feats=64, n_blocks=8), batched 96x96 LR frames
 -> 384x384 SR output (the reference's FLOPs-report input recipe,
@@ -10,27 +10,29 @@ train.py:151: (3, 384/scale, 384/scale)). Throughput counts OUTPUT
 megapixels. bfloat16 compute (parity eval uses f32+HIGHEST; see
 tests/test_model.py::test_bfloat16_mode_close_to_f32 for the numerics gap).
 
-Methodology: the remote-tunnel TPU platform dispatches lazily —
-block_until_ready on an unfetched buffer does not gate execution — so we
-time *data-dependent serialized chains* (each call consumes the previous
-call's output) ending in a host fetch, at two chain lengths, and take the
-marginal per-call slope. This removes both dispatch RTT and fetch overhead.
+Methodology (round 4, device-loop): the remote-tunnel TPU platform costs
+~4.4 ms of CLIENT-side dispatch per jit call (scripts/ab_floor.py: a
+trivial x*0.999 program chains at 4.4 ms/call) — a measurement-host
+artifact that does not exist on local TPU hosts (~0.1 ms) and that the
+old python-loop chain slope could not cancel (it scales with n). The
+chain therefore now runs INSIDE one jit via lax.fori_loop: one dispatch
+per chain, and the slope between two loop lengths is pure device time
+per step. To keep the number honest vs a per-call server, the body
+derives a data-dependent perturbation of the PARAMS each iteration, so
+XLA cannot hoist any param-derived preparation out of the loop; the
+output feeds the next input through a full reduction, so no tail work
+can be dead-code-eliminated. ``wall_mps`` reports the old per-call
+python-loop number (device + tunnel dispatch) for round-over-round
+continuity; BENCH_r{1..3} values are wall-method numbers.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6)
 and this image has no CUDA GPU to measure the PyTorch baseline directly;
 baseline is a documented FLOPs-derived estimate of the reference on an
-RTX 3090-class GPU: windowed-attention SR models of this size typically run
-a few hundred 96->384 frames/s; we take a favorable 300 frames/s
-(44.2 output MP/s). The north-star target is >=10x that per chip.
-
-Uncertainty of that denominator (VERDICT r2 #6, r3 #6): bounded, not a
-point — see BASELINE.md "The GPU-baseline denominator, defended" for the
-three independent estimates (roofline/MFU band 18-88 MP/s; the measured
-single-core eager anchor scripts/baseline_cpu_anchor.py x typical
-GPU/core ratios -> 28-84; published per-model numbers). The JSON line
-carries the band: vs_baseline against the 44.2 point, vs_baseline_low
-against the FAVORABLE 88 MP/s edge (the honest number for the >=10x
-claim), vs_baseline_high against the 18 MP/s edge.
+RTX 3090-class GPU (see BASELINE.md "The GPU-baseline denominator,
+defended": roofline/MFU band + measured CPU eager anchor + published
+per-model numbers). The JSON carries the band: vs_baseline against the
+44.2 MP/s point, vs_baseline_low against the FAVORABLE 88 MP/s edge (the
+honest number for the >=10x claim), vs_baseline_high against 18 MP/s.
 """
 
 from __future__ import annotations
@@ -42,21 +44,11 @@ BASELINE_MPS = 44.2        # point estimate (mid-band), output MP/s
 BASELINE_MPS_BAND = (18.0, 88.0)  # defended band, BASELINE.md
 
 
-def _chain_time(step, params, x0, n: int) -> float:
-    import numpy as np
-
-    x = x0
-    t0 = time.perf_counter()
-    for _ in range(n):
-        x = step(params, x)
-    np.asarray(x)  # force execution + fetch
-    return time.perf_counter() - t0
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from m2trans_tpu.config import Config
     from m2trans_tpu.models import init_m2trans, m2trans_apply, policy_from_config
@@ -70,41 +62,72 @@ def main() -> None:
     params = init_m2trans(jax.random.PRNGKey(0), cfg)
 
     batch, h, w = 8, 96, 96
-
-    @jax.jit
-    def step(p, x):
-        y = m2trans_apply(p, x, cfg, policy=policy)
-        # Serialize on a full reduction of the output: every HR pixel feeds
-        # the next input, so XLA cannot dead-code-eliminate any tail work.
-        # (A strided-slice feedback — used through round 1 — lets XLA narrow
-        # the final ops to the sliced positions and overstates throughput.)
-        m = y.astype(jnp.float32).mean()
-        return x * 0.999 + m * 1e-3
-
     x0 = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3))
-    _chain_time(step, params, x0, 1)  # warmup / compile
 
-    n1, n2 = 2, 18
-    slopes, absolutes = [], []
+    def body(xx):
+        # data-dependent param perturbation (bf16 round-to-same): blocks
+        # loop-invariant hoisting of weight prep without changing values
+        s = xx.reshape(-1)[0].astype(jnp.float32) * 1e-30
+        p = jax.tree_util.tree_map(lambda v: v + s.astype(v.dtype), params)
+        y = m2trans_apply(p, xx, cfg, policy=policy)
+        # serialize on a full reduction of the output: every HR pixel feeds
+        # the next input, so XLA cannot dead-code-eliminate any tail work
+        m = y.astype(jnp.float32).mean()
+        return xx * 0.999 + m * 1e-3
+
+    # --- primary: device-loop slope (pure device time per step) ----------
+    n1, n2 = 4, 36
+    chains = {n: jax.jit(lambda x, n=n: lax.fori_loop(
+        0, n, lambda i, xx: body(xx), x)) for n in (n1, n2)}
+    for n in (n1, n2):
+        np.asarray(chains[n](x0))  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        np.asarray(chains[n](x0))
+        return time.perf_counter() - t0
+
+    slopes = []
     for _ in range(5):
-        t1 = _chain_time(step, params, x0, n1)
-        t2 = _chain_time(step, params, x0, n2)
+        t1, t2 = run(n1), run(n2)
         s = (t2 - t1) / (n2 - n1)
-        if s > 0:  # tunnel hiccups can poison a single chain measurement
+        if s > 0:
             slopes.append(s)
-        absolutes.append(t2 / n2)
-    if slopes:
-        slopes.sort()
-        best = slopes[len(slopes) // 2]  # median of clean trials
-    else:  # every trial hiccuped: fall back to the best absolute per-call
-        best = min(absolutes)
+    slopes.sort()
+    dev = slopes[len(slopes) // 2] if slopes else float("inf")
+
+    # --- secondary: per-call python-loop wall (old methodology) ----------
+    step = jax.jit(body)
+    np.asarray(step(x0))  # compile
+
+    def wall_chain(n):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = step(x)
+        np.asarray(x)
+        return time.perf_counter() - t0
+
+    wn1, wn2 = 2, 18
+    wslopes = []
+    for _ in range(3):
+        t1, t2 = wall_chain(wn1), wall_chain(wn2)
+        s = (t2 - t1) / (wn2 - wn1)
+        if s > 0:
+            wslopes.append(s)
+    wslopes.sort()
+    wall = wslopes[len(wslopes) // 2] if wslopes else float("inf")
 
     out_mp = batch * (h * cfg.scale) * (w * cfg.scale) / 1e6
-    mps = out_mp / best
+    mps = out_mp / dev
     print(json.dumps({
         "metric": "x4_sr_output_megapixels_per_sec_per_chip",
         "value": round(mps, 2),
         "unit": "MP/s",
+        "method": "device_fori_slope",
+        "ms_per_step_device": round(dev * 1e3, 3),
+        "wall_mps": round(out_mp / wall, 2),
+        "ms_per_step_wall": round(wall * 1e3, 3),
         "vs_baseline": round(mps / BASELINE_MPS, 3),
         "vs_baseline_low": round(mps / BASELINE_MPS_BAND[1], 3),
         "vs_baseline_high": round(mps / BASELINE_MPS_BAND[0], 3),
