@@ -1,0 +1,65 @@
+"""Re-judge the round-4 forward candidates whose python-loop A/Bs were
+voided by the trace-cache bug (NOTES_ROUND5 "measurement layer"):
+
+  ff_fused    — the packed feed-forward conv Pallas kernel
+                (ops/pallas/ff_packed.py, _FF_MODE="fused")
+  tap_packed  — tail phase-conv 9-tap N-axis packing
+                (ops/pallas/tail_band._TAP_PACKED)
+
+measured on the device-loop instrument (compare_fori: pure device time,
+sensitive below the 4.4 ms dispatch floor).
+
+Usage: python scripts/ab_candidates.py [HW]
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/m2trans_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import m2trans_tpu.models.m2trans as mm  # noqa: E402
+import m2trans_tpu.ops.pallas.tail_band as tb  # noqa: E402
+from m2trans_tpu.config import Config  # noqa: E402
+from m2trans_tpu.models import (  # noqa: E402
+    init_m2trans,
+    m2trans_apply,
+    policy_from_config,
+)
+from scripts.ab import compare_fori  # noqa: E402
+
+
+def main():
+    hw = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3,
+                 dtype="bfloat16", use_pallas=True)
+    policy = policy_from_config(cfg)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    x0 = jax.random.uniform(jax.random.PRNGKey(1), (8, hw, hw, 3))
+
+    def make_body(ff_mode, tap, eps):
+        def body(xx):
+            old_ff, old_tap = mm._FF_MODE, tb._TAP_PACKED
+            mm._FF_MODE, tb._TAP_PACKED = ff_mode, tap
+            try:
+                y = m2trans_apply(params, xx, cfg, policy=policy)
+                return xx * 0.999 + y.astype(jnp.float32).mean() * eps
+            finally:
+                mm._FF_MODE, tb._TAP_PACKED = old_ff, old_tap
+        return body
+
+    bodies = {
+        "base": make_body("unpack", False, 1e-3),
+        "ff_fused": make_body("fused", False, 1.01e-3),
+        "tap_packed": make_body("unpack", True, 1.02e-3),
+        "both": make_body("fused", True, 1.03e-3),
+    }
+    compare_fori(bodies, x0, n1=4, n2=32, trials=6)
+
+
+if __name__ == "__main__":
+    main()
