@@ -366,14 +366,15 @@ def _unpack_body_kernel(x_ref, out_ref, *, g, nb):
         out_ref[s] = jnp.concatenate(parts, axis=-1).astype(out_ref.dtype)
 
 
-def pack_batch(x, g, interpret=None):
-    """(B, H, W, cb) -> (B/G, H, W, G*cb) slot-major lane pack, as a
-    trivial Pallas kernel (grid over row bands; pure DMA + lane concat).
+def pack_batch_dma(x, g, interpret=None):
+    """(B, H, W, cb) -> (B/G, H, W, G*cb) slot-major lane pack as a
+    Pallas DMA kernel (grid over row bands; f32-staged lane concat).
 
-    Every XLA formulation tried (reshape+transpose, strided-slice+concat)
-    lowers to ~2 ms/call of staged layout-changing copies at the flagship
-    shape (profiled v5e) — 13x the ~HBM-speed cost of the move. The
-    kernel reads each image's rows once and writes the packed band once."""
+    Superseded as the default by the MXU selection-einsum formulation
+    (pack_batch): the staged lane concats run masked 16-lane VPU copies
+    at 1/8 occupancy — swapping every pack/unpack in the model for the
+    einsum measured -0.54 ms/step at the flagship (scripts/ab_pack2.py,
+    device-loop paired delta). Kept for A/B and as the fallback."""
     b, h, w, cb = x.shape
     if g == 1:
         return x
@@ -394,13 +395,8 @@ def pack_batch(x, g, interpret=None):
     )(x)
 
 
-def pack_body(x, g, nb=4, interpret=None):
-    """(B, H, W, C) -> (B/G, H, W, G*C) BRANCH-MAJOR lane pack: output
-    lane p = k*(G*cb) + slot*cb + c for branch-group k (cb = C/nb). Each
-    branch's G-image slot-major pack occupies one contiguous G*cb-lane
-    block, so the whole-CFTM packed flow reads branch k at lane offset
-    k*G*cb with no relayout (the per-branch 16-lane slicing of the
-    64-lane body tensor is what forced XLA's {3,0,2,1} staging copies)."""
+def pack_body_dma(x, g, nb=4, interpret=None):
+    """Pallas DMA formulation of pack_body (see pack_batch_dma)."""
     b, h, w, c = x.shape
     if interpret is None:
         interpret = not _is_tpu_backend()
@@ -419,8 +415,8 @@ def pack_body(x, g, nb=4, interpret=None):
     )(x)
 
 
-def unpack_body(x, g, nb=4, interpret=None):
-    """Inverse of pack_body."""
+def unpack_body_dma(x, g, nb=4, interpret=None):
+    """Pallas DMA formulation of unpack_body (see pack_batch_dma)."""
     bp, h, w, gc = x.shape
     if interpret is None:
         interpret = not _is_tpu_backend()
@@ -440,8 +436,8 @@ def unpack_body(x, g, nb=4, interpret=None):
     )(x)
 
 
-def unpack_batch(x, g, interpret=None):
-    """Inverse of pack_batch (same kernel strategy)."""
+def unpack_batch_dma(x, g, interpret=None):
+    """Pallas DMA formulation of unpack_batch (see pack_batch_dma)."""
     bp, h, w, gcb = x.shape
     if g == 1:
         return x
@@ -461,6 +457,91 @@ def unpack_batch(x, g, interpret=None):
         out_shape=jax.ShapeDtypeStruct((bp * g, h, w, cb), x.dtype),
         interpret=interpret,
     )(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _sel_np(g: int, c: int, nb: int):
+    """(G, G*C, C) 0/1 selection tensor: S[s, k*G*cb + s*cb + cc,
+    k*cb + cc] = 1 (branch-major packed lane <-> image channel)."""
+    import numpy as np
+
+    cb = c // nb
+    k = np.arange(nb)[:, None]
+    cc = np.arange(cb)[None, :]
+    col = (k * cb + cc).reshape(-1)                   # (c,)
+    s = np.zeros((g, g * c, c), np.float32)
+    for slot in range(g):
+        lane = (k * g * cb + slot * cb + cc).reshape(-1)
+        s[slot, lane, col] = 1.0
+    return s
+
+
+def _sel(g: int, c: int, nb: int, dtype):
+    return jnp.asarray(_sel_np(g, c, nb), dtype)
+
+
+def pack_body(x, g, nb=4, interpret=None, precision=None):
+    """(B, H, W, C) -> (B/G, H, W, G*C) BRANCH-MAJOR lane pack: output
+    lane p = k*(G*cb) + slot*cb + c for branch-group k (cb = C/nb). Each
+    branch's G-image slot-major pack occupies one contiguous G*cb-lane
+    block, so the whole-CFTM packed flow reads branch k at lane offset
+    k*G*cb with no relayout (the per-branch 16-lane slicing of the
+    64-lane body tensor is what forced XLA's {3,0,2,1} staging copies).
+
+    Implementation: a 0/1 selection-matrix einsum riding the MXU — each
+    output lane accumulates exactly one product (1.0 * x) in f32, so the
+    relayout is EXACT for bf16 inputs while running at full lane
+    occupancy (the Pallas DMA kernels' masked 16-lane copies ran the VPU
+    at 1/8 occupancy, ~4x the HBM floor; swapping measured -0.54 ms/step
+    at the flagship, scripts/ab_pack2.py). Non-bf16 inputs take the XLA
+    transpose formulation instead (a default-precision f32 contraction
+    would round mantissas to bf16 on TPU).
+
+    ``interpret`` is accepted for call-site compatibility with the DMA
+    kernels and ignored (the einsum runs on every backend)."""
+    b, h, w, c = x.shape
+    if x.dtype != jnp.bfloat16:
+        cb = c // nb
+        x6 = x.reshape(b // g, g, h, w, nb, cb)
+        return jnp.transpose(x6, (0, 2, 3, 4, 1, 5)).reshape(
+            b // g, h, w, g * c)
+    y = jnp.einsum("bshwc,slc->bhwl", x.reshape(b // g, g, h, w, c),
+                   _sel(g, c, nb, x.dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=precision)
+    return y.astype(x.dtype)
+
+
+def unpack_body(x, g, nb=4, interpret=None, precision=None):
+    """Inverse of pack_body (same MXU selection-einsum strategy)."""
+    bp, h, w, gc = x.shape
+    c = gc // g
+    if x.dtype != jnp.bfloat16:
+        cb = c // nb
+        x6 = x.reshape(bp, h, w, nb, g, cb)
+        return jnp.transpose(x6, (0, 4, 1, 2, 3, 5)).reshape(
+            bp * g, h, w, c)
+    y = jnp.einsum("bhwl,slc->bshwc", x, _sel(g, c, nb, x.dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=precision)
+    return y.astype(x.dtype).reshape(bp * g, h, w, c)
+
+
+def pack_batch(x, g, interpret=None, precision=None):
+    """(B, H, W, cb) -> (B/G, H, W, G*cb) slot-major lane pack (the
+    nb=1 case of pack_body: lane p = slot*cb + c). MXU selection-einsum;
+    see pack_body."""
+    if g == 1:
+        return x
+    return pack_body(x, g, nb=1, interpret=interpret, precision=precision)
+
+
+def unpack_batch(x, g, interpret=None, precision=None):
+    """Inverse of pack_batch."""
+    if g == 1:
+        return x
+    return unpack_body(x, g, nb=1, interpret=interpret,
+                       precision=precision)
 
 
 # ---------------------------------------------------------------------------

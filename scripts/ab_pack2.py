@@ -1,0 +1,120 @@
+"""Re-judge pack_body/unpack_body formulations on the device-loop
+instrument (compare_fori).
+
+The r3 claim "every XLA formulation of the pack transpose costs ~2 ms"
+came from python-loop-era profiling (pre measurement-layer rebuild,
+NOTES_ROUND5) — and the Pallas pack kernels run masked 16-lane VPU
+copies at 1/8 lane occupancy, ~4x the HBM floor (no_packing ablation:
+1.82 ms/step at the flagship). Candidates at full occupancy:
+
+  xla   — reshape + one 6-d transpose (XLA tile shuffle)
+  mxu   — 0/1 selection-matrix einsums (exact: one nonzero per output
+          accumulated in f32), riding the MXU instead of the VPU
+
+measured in-model (the 8 per-CFTM ff round trips + the body-level
+pair are all patched at once).
+
+Usage: python scripts/ab_pack2.py [HW]
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/m2trans_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import m2trans_tpu.ops.pallas.halo_attn_packed as pk  # noqa: E402
+from m2trans_tpu.config import Config  # noqa: E402
+from m2trans_tpu.models import (  # noqa: E402
+    init_m2trans,
+    m2trans_apply,
+    policy_from_config,
+)
+from scripts.ab import compare_fori  # noqa: E402
+
+
+def pack_body_xla(x, g, nb=4, interpret=None):
+    b, h, w, c = x.shape
+    cb = c // nb
+    x6 = x.reshape(b // g, g, h, w, nb, cb)
+    x6 = jnp.transpose(x6, (0, 2, 3, 4, 1, 5))
+    return x6.reshape(b // g, h, w, g * c)
+
+
+def unpack_body_xla(x, g, nb=4, interpret=None):
+    bp, h, w, gc = x.shape
+    c = gc // g
+    cb = c // nb
+    x6 = x.reshape(bp, h, w, nb, g, cb)
+    x6 = jnp.transpose(x6, (0, 4, 1, 2, 3, 5))
+    return x6.reshape(bp * g, h, w, c)
+
+
+def _sel(g, c, nb, dtype):
+    """(g, g*c, c) 0/1 selection: S[s, k*g*cb + s*cb + cc, k*cb + cc]."""
+    cb = c // nb
+    s_ = np.zeros((g, g * c, c), np.float32)
+    for s in range(g):
+        for k in range(nb):
+            for cc in range(cb):
+                s_[s, k * g * cb + s * cb + cc, k * cb + cc] = 1.0
+    return jnp.asarray(s_, dtype)
+
+
+def make_mxu(precision):
+    def unpack_body_mxu(x, g, nb=4, interpret=None):
+        bp, h, w, gc = x.shape
+        c = gc // g
+        sel = _sel(g, c, nb, x.dtype)
+        y = jnp.einsum("bhwl,slc->bshwc", x, sel,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
+        return y.astype(x.dtype).reshape(bp * g, h, w, c)
+
+    def pack_body_mxu(x, g, nb=4, interpret=None):
+        b, h, w, c = x.shape
+        sel = _sel(g, c, nb, x.dtype)
+        y = jnp.einsum("bshwc,slc->bhwl",
+                       x.reshape(b // g, g, h, w, c), sel,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
+        return y.astype(x.dtype)
+
+    return pack_body_mxu, unpack_body_mxu
+
+
+def main():
+    hw = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    cfg = Config(scale=4, n_feats=64, n_blocks=8, colors=3,
+                 dtype="bfloat16", use_pallas=True)
+    policy = policy_from_config(cfg)
+    params = init_m2trans(jax.random.PRNGKey(0), cfg)
+    x0 = jax.random.uniform(jax.random.PRNGKey(1), (8, hw, hw, 3))
+    pack_mxu, unpack_mxu = make_mxu(policy.precision)
+
+    def make_body(pack_fn, unpack_fn, eps):
+        def body(xx):
+            old_p, old_u = pk.pack_body, pk.unpack_body
+            pk.pack_body, pk.unpack_body = pack_fn, unpack_fn
+            try:
+                y = m2trans_apply(params, xx, cfg, policy=policy)
+                return xx * 0.999 + y.astype(jnp.float32).mean() * eps
+            finally:
+                pk.pack_body, pk.unpack_body = old_p, old_u
+        return body
+
+    bodies = {
+        "pallas": make_body(pk.pack_body, pk.unpack_body, 1e-3),
+        "xla": make_body(pack_body_xla, unpack_body_xla, 1.01e-3),
+        "mxu": make_body(pack_mxu, unpack_mxu, 1.02e-3),
+    }
+    compare_fori(bodies, x0, n1=4, n2=32, trials=6)
+
+
+if __name__ == "__main__":
+    main()
