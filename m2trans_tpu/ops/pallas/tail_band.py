@@ -48,18 +48,32 @@ Params = Dict[str, Any]
 
 _BLOCK = 8  # LR rows per band
 
-# phase-conv formulation (both exact): True = single tap-packed dot
-# (N=9*P*3) + shifted slice-adds, False = 9 per-tap dots (N=P*3).
-# Measured in-model (scripts/ab_tail.py, ABBA paired deltas on v5e):
-# tap-packed is +0.7 ms/step SLOWER — the 9 slice-adds over the f32
-# (rows, W+2, 432) tap tensor cost more than the MXU padding they save.
-_TAP_PACKED = False
+# phase-conv formulation (all exact):
+#   False  — 9 per-tap dots (N=P*3=48, padded 2.7x on the MXU);
+#   True   — single tap-packed dot (N=9*P*3) + 9 shifted SLICE-adds:
+#            measured a wash (ab_candidates, device-loop) — the 48-lane
+#            slice offsets are lane-MISALIGNED, so every add runs
+#            masked sub-register VPU copies that eat the MXU saving;
+#   "roll" — single tap-packed dot + lane-ROTATE reduction: tap t's
+#            48-col block is rotated to lanes 0:48 (pltpu.roll, a
+#            full-width crossbar op) and accumulated at full occupancy;
+#            one final :48 slice. Same MXU shape as True (~2x fewer
+#            tile-units than False) without the misaligned adds.
+_TAP_PACKED = "roll"
 
 # ABLATION ONLY (wrong values, dataflow preserved): names of kernel
 # stages to null out, for intra-kernel cost attribution through
 # scripts/ab_tail_parts.py — {"stage0", "stage1", "gelu", "phconv",
 # "edges"}.
 _ABLATE = frozenset()
+
+# Phase-band staging dtype (scripts/ab_tail4.py, exact either way):
+# True (default) keeps the band f32 with per-window bf16 casts; the
+# one-bf16-cast-before-pad/splice variant measured +0.16 ms/step SLOWER
+# in-model on the device-loop instrument — Mosaic's bf16 pad/where/
+# slice sequences cost more than the nine window casts they replace
+# (which overlap under the MXU dots anyway).
+_BAND_F32 = True
 
 
 # Odd minimax-style polynomial erf: x * P7(x^2) on |x| <= 3, clamped
@@ -125,33 +139,66 @@ def _kernel(y_a, y_b, lc_ref, rc_ref, top_ref, bot_ref, w0_ref, b0_ref,
             # four group dots over static lane slices — K=64-clean,
             # intrinsic MACs only
             b1f = b1_ref[:].astype(jnp.float32)
+            hb = h.astype(band.dtype)  # one cast; slices below are free
             parts = []
             for grp in range(4):
-                hg = h[:, grp * nf:(grp + 1) * nf].astype(band.dtype)
+                hg = hb[:, grp * nf:(grp + 1) * nf]
                 og = jnp.dot(hg, w1_ref[:],
                              preferred_element_type=jnp.float32,
                              precision=precision)
                 parts.append(gelu(og + b1f))
             h = jnp.concatenate(parts, axis=-1)
-    mid = h.reshape(rows, w, cp)
+    # One f32 -> bf16 cast for the whole phase band, BEFORE pad/splice:
+    # the dots consumed bf16 windows anyway, and cast commutes with
+    # slice/pad/where (edges are cast identically), so values are
+    # unchanged — but the nine per-window casts of the f32 band (~0.75M
+    # elements each) collapse to one (device-loop tail attribution,
+    # scripts/ab_tail3.py: phconv 1.26 ms/step was ~0.4 ms above its
+    # N-pad MXU floor, mostly this staging). _BAND_F32 restores the f32
+    # band for A/B (scripts/ab_tail4.py). In tap-roll mode the band is
+    # ALWAYS bf16: its only consumer is the single tap-packed dot (which
+    # casts anyway, so values are identical), and the f32 band plus the
+    # (rows, W+2, 9*P*3) tap tensor exceed the 16M scoped-VMEM ceiling
+    # by ~0.5M (observed 16.45M); same for the slice-add variant.
+    band_f32 = _BAND_F32 and not tap_packed
+    mid = (h if band_f32 else h.astype(band.dtype)).reshape(rows, w, cp)
 
-    # splice the precomputed reflect-remapped edge columns (f32 inputs),
-    # then the top/bottom remapped rows on the frame's first/last band
+    # splice the precomputed reflect-remapped edge columns, then the
+    # top/bottom remapped rows on the frame's first/last band
     ph = jnp.pad(mid, ((0, 0), (1, 1), (0, 0)))
     if "edges" not in _ABLATE:
-        lc = lc_ref[0, pl.ds(i * _BLOCK, rows), :]  # (rows, cp)
-        rc = rc_ref[0, pl.ds(i * _BLOCK, rows), :]
+        lc = lc_ref[0, pl.ds(i * _BLOCK, rows), :].astype(ph.dtype)
+        rc = rc_ref[0, pl.ds(i * _BLOCK, rows), :].astype(ph.dtype)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w + 2, 1), 1)
         ph = jnp.where(col_ids == 0, lc[:, None, :], ph)
         ph = jnp.where(col_ids == w + 1, rc[:, None, :], ph)
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-        ph = jnp.where((i == 0) & (row_ids == 0), top_ref[0, 0][None], ph)
+        ph = jnp.where((i == 0) & (row_ids == 0),
+                       top_ref[0, 0][None].astype(ph.dtype), ph)
         ph = jnp.where((i == nh - 1) & (row_ids == rows - 1),
-                       bot_ref[0, 0][None], ph)
+                       bot_ref[0, 0][None].astype(ph.dtype), ph)
 
     if "phconv" in _ABLATE:  # ablation: cheap slice instead of the conv
         acc = ph[1:1 + _BLOCK, 1:1 + w, :P * 3].reshape(_BLOCK * w, P * 3)
+    elif tap_packed == "roll":
+        # single tap-packed dot (N=9*P*3), then rotate each tap's block
+        # to lanes [0, P*3) and accumulate at full lane occupancy (the
+        # rotation drags other taps' columns into lanes >= P*3 — summed
+        # garbage there, sliced away at the end). See _TAP_PACKED.
+        rows_p, wp2 = ph.shape[0], ph.shape[1]
+        n9 = 9 * P * 3
+        u = jnp.dot(ph.reshape(rows_p * wp2, cp).astype(band.dtype),
+                    k_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision).reshape(rows_p, wp2, n9)
+        acc3 = None
+        for dr in range(3):
+            for dc in range(3):
+                t = dr * 3 + dc
+                sl = u[dr:dr + _BLOCK, dc:dc + w]
+                r = sl if t == 0 else pltpu.roll(sl, n9 - P * 3 * t, 2)
+                acc3 = r if acc3 is None else acc3 + r
+        acc = acc3[:, :, :P * 3].reshape(_BLOCK * w, P * 3)
     elif tap_packed:
         # 3x3 phase-space conv, VALID over the (10, W+2) band -> (8, W).
         # ONE dot with the 9 taps packed onto the N axis, then 9 shifted
