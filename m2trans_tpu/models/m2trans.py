@@ -660,20 +660,50 @@ def _cftm_apply_fused(p: Params, x: jnp.ndarray, *, policy: ComputePolicy,
 
 def _tail_band_fits(h: int, w: int, scale: int, nf: int,
                     limit: Optional[float] = None) -> bool:
-    """VMEM estimate for the fused band tail: the f32 phase band + stage
-    transient + conv windows scale linearly with W; the reflect-edge
-    columns (lc/rc, loaded whole) scale linearly with H (ADVICE r2: a
-    tall-narrow frame must not pass on W alone)."""
+    """VMEM estimate for the fused band tail, modeling the ACTIVE
+    _TAP_PACKED formulation (ADVICE r4: the gate must bound the kernel it
+    dispatches — the r4 "roll" flip left the gate estimating the per-tap
+    dataflow while the roll kernel allocated 16.45M and OOM'd the 16M
+    v5e ceiling). Terms scale linearly with W; the reflect-edge columns
+    (lc/rc, loaded whole) scale linearly with H (ADVICE r2: a tall-narrow
+    frame must not pass on W alone).
+
+    Calibration (v5e, REAL scoped VMEM by binary-searched
+    compiler_options probe, scripts/calibrate_vmem.py, r5): at
+    (96, W, 64, x4) — per-tap real 8.21M @W=96 / 16.88M @W=192;
+    slice-add 4.82M / 14.99M; roll 17.25M / never-compiles. Estimates
+    below at those anchors: per-tap 12.2M / 22.5M; slice-add 12.6M;
+    roll 23.4M — consistently 3-6M conservative, and roll's NINE live
+    rotated f32 copies are the term the r4 estimator missed
+    (BENCH_r04 rc=1)."""
     if limit is None:
         from m2trans_tpu.ops.pallas.device import gate_profile
 
         limit = gate_profile()["tail_limit"]
-    cp = scale * scale * nf
-    band = 10 * (w + 2) * cp * 4  # f32 phase band (ph; mid freed into it)
-    stage = 10 * w * cp * 4       # f32 stage transient
-    win = 8 * w * cp * 2          # bf16 conv window
+    from m2trans_tpu.ops.pallas.tail_band import _BAND_F32, _TAP_PACKED
+
+    P = scale * scale
+    cp = P * nf
+    n9 = 9 * P * 3
+    band_f32 = _BAND_F32 and not _TAP_PACKED
+    bb = 4 if band_f32 else 2
+    band = 10 * (w + 2) * cp * bb  # phase band (ph; mid freed into it)
+    stage = 10 * w * cp * 4        # f32 stage transient (pre-cast h)
     edges = 2 * (h + 2 * 8) * cp * 4 + 2 * (w + 2) * cp * 4  # lc/rc+top/bot
-    return band + stage + win + edges + 3e6 < limit
+    if _TAP_PACKED:
+        # tap-packed dot: f32 (rows, w+2, 9*P*3) tap tensor u, the f32
+        # accumulator(s) — Mosaic keeps ALL NINE rotated copies live in
+        # roll mode (measured: roll 17.25M real @W=96 vs slice-add's
+        # 4.82M; the rotate-reduce is the only difference) — and the
+        # packed (cp, 9*P*3) weight operand
+        tap = 10 * (w + 2) * n9 * 4
+        acc = (9 if _TAP_PACKED == "roll" else 1) * 8 * (w + 2) * n9 * 4
+        kw_ = cp * n9 * 2
+        body = band + stage + tap + acc + kw_
+    else:
+        win = 8 * w * cp * 2       # bf16 conv window view
+        body = band + stage + win
+    return body + edges + 1e6 < limit
 
 
 def _conv_ps_gelu(x, w, b, r, kw):

@@ -29,12 +29,17 @@ _V5E = {
     "banded_limit_default": 12 * _MIB,
     "banded_limits": {1: 14 * _MIB},
     "group_budget": {0: 25e6, 1: 7e6, 2: 12e6},
-    # 13e6 was calibrated before the gate counted the reflect-edge
-    # operands; the 3-D edge layout (r3) cut their real footprint 8x and
-    # the gate now counts them honestly (~1.7e6 at the flagship shape),
-    # so the limit moves up by that much. W=512 (est ~21e6 on the band
-    # term alone) stays rejected.
-    "tail_limit": 16e6,
+    # r5 recalibration against REAL scoped VMEM (binary-searched
+    # compiler_options probe, scripts/calibrate_vmem.py): the estimator
+    # (_tail_band_fits, now modeling the ACTIVE _TAP_PACKED dataflow)
+    # runs 3-6M conservative — per-tap est 12.2M/real 8.21M @W=96,
+    # est 22.5M/real 16.88M @W=192. 14e6 admits the flagship (8.21M
+    # real, ~8M under the 16M ceiling) and rejects everything whose
+    # real footprint was measured marginal (W=192 per-tap 16.88M,
+    # slice-add 14.99M) or broken (roll 17.25M @W=96) — an estimator
+    # drift now degrades to the XLA phase tail, never a compile crash
+    # (the r4 failure mode, BENCH_r04 rc=1).
+    "tail_limit": 14e6,
     # Lane-packed cascade kernel (halo_attn_packed.py) VMEM budgets per
     # DWT level, v5e-measured (the estimator runs ~2x conservative):
     # L=0 g=8: W=96 (est 17.8M) 0.146 vs banded 0.482 ms/call; W=192

@@ -59,7 +59,15 @@ _BLOCK = 8  # LR rows per band
 #            full-width crossbar op) and accumulated at full occupancy;
 #            one final :48 slice. Same MXU shape as True (~2x fewer
 #            tile-units than False) without the misaligned adds.
-_TAP_PACKED = "roll"
+#
+# r5: default is the per-tap form — the only one hardware-validated at
+# the flagship (42680dd bench 187.1 MP/s; real scoped VMEM measured
+# via compiler_options trick, scripts/calibrate_vmem.py). The r4
+# snapshot shipped "roll" unbenched and it OOMs scoped VMEM on v5e
+# (16.45M vs the 16.00M ceiling, BENCH_r04 rc=1). Do not flip this
+# without (a) updating _tail_band_fits' mode terms and (b) an on-HW
+# compile + bench at the flagship shape.
+_TAP_PACKED = False
 
 # ABLATION ONLY (wrong values, dataflow preserved): names of kernel
 # stages to null out, for intra-kernel cost attribution through
@@ -435,7 +443,14 @@ def _bwd_recompute_kernel(y_a, y_b, g_ref, lc_ref, rc_ref, top_ref,
     clip-masked cotangent; both leave as bf16 HBM tiles (~19 MB/step at
     the flagship shape — the scoped-VMEM relief of splitting the adjoint
     into four slim kernels is worth the ~0.1 ms of extra DMA: the
-    monolithic kernel measured 18.5-23M scoped vs the 16M ceiling)."""
+    monolithic kernel measured 18.5-23M scoped vs the 16M ceiling).
+
+    Note (ADVICE r4): this recompute always uses the nine per-tap N=P*3
+    dots, matching the default _TAP_PACKED=False forward exactly. If a
+    tap-packed forward (True/"roll", one N=9*P*3 dot) is ever made the
+    default, its different f32 accumulation order could flip the clip
+    mask on exact-boundary elements (measure-zero for continuous inputs)
+    — make this recompute use the same tap-packed dot in that change."""
     i = pl.program_id(1)
     P = scale * scale
     cp = P * nf

@@ -55,6 +55,10 @@ def main():
     bodies = {
         "base": make_body("unpack", False, 1e-3),
         "ff_fused": make_body("fused", False, 1.01e-3),
+        # scatter's r3 "slower overall" verdict predates the corrected
+        # instrument — re-judge (dense 512-lane dots: 8x FLOPs but zero
+        # gather/scatter and zero pack/unpack, ~0.22 ms MXU floor)
+        "ff_scatter": make_body("scatter", False, 1.04e-3),
         "tap_packed": make_body("unpack", True, 1.02e-3),
         "both": make_body("fused", True, 1.03e-3),
     }

@@ -108,8 +108,17 @@ def main():
                 pk.pack_body, pk.unpack_body = old_p, old_u
         return body
 
+    def pack_body_pallas(x, g, nb=4, interpret=None, precision=None):
+        # the original DMA-kernel formulation — pack_body itself is the
+        # MXU einsum since 42680dd, so the baseline arm must bind the
+        # _dma variants or the A/B compares identical programs (ADVICE r4)
+        return pk.pack_body_dma(x, g, nb=nb, interpret=interpret)
+
+    def unpack_body_pallas(x, g, nb=4, interpret=None, precision=None):
+        return pk.unpack_body_dma(x, g, nb=nb, interpret=interpret)
+
     bodies = {
-        "pallas": make_body(pk.pack_body, pk.unpack_body, 1e-3),
+        "pallas": make_body(pack_body_pallas, unpack_body_pallas, 1e-3),
         "xla": make_body(pack_body_xla, unpack_body_xla, 1.01e-3),
         "mxu": make_body(pack_mxu, unpack_mxu, 1.02e-3),
     }

@@ -1,4 +1,10 @@
-"""Ablate the fused branch kernel's stages in ONE compiled program and
+"""DEPRECATED INSTRUMENT (r5): per-op device self-times double-count
+overlapped work and python-loop chains clip at the ~4.4 ms dispatch
+floor (NOTES_ROUND5 measurement-layer rebuild). Kept for the kernel
+isolation harness only - do NOT quote its numbers for dispatch or
+default decisions; use scripts/ab.py compare_fori ablations instead.
+
+Ablate the fused branch kernel's stages in ONE compiled program and
 read each variant's device time from a single xplane trace (robust to
 tunnel jitter: device self-times, one compile).
 

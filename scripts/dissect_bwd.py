@@ -1,4 +1,10 @@
-"""Per-component BACKWARD attribution at the flagship train shape.
+"""DEPRECATED INSTRUMENT (r5): per-op device self-times double-count
+overlapped work and python-loop chains clip at the ~4.4 ms dispatch
+floor (NOTES_ROUND5 measurement-layer rebuild). Kept for the kernel
+isolation harness only - do NOT quote its numbers for dispatch or
+default decisions; use scripts/ab.py compare_fori ablations instead.
+
+Per-component BACKWARD attribution at the flagship train shape.
 
 Times jax.grad of each piece in isolation (serialized data-dependent
 chains, min-of-trials — see tpu_timeit): the fused cascade branch per

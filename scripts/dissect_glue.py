@@ -1,4 +1,10 @@
-"""Ablate the packed-body CFTM's glue to size the round-4 levers.
+"""DEPRECATED INSTRUMENT (r5): per-op device self-times double-count
+overlapped work and python-loop chains clip at the ~4.4 ms dispatch
+floor (NOTES_ROUND5 measurement-layer rebuild). Kept for the kernel
+isolation harness only - do NOT quote its numbers for dispatch or
+default decisions; use scripts/ab.py compare_fori ablations instead.
+
+Ablate the packed-body CFTM's glue to size the round-4 levers.
 
 Variants of the flagship x4 forward (B=8, 96^2, bf16+Pallas), each
 removing one piece of the per-CFTM XLA glue (outputs become WRONG —

@@ -1,4 +1,10 @@
-"""Device self-time comparison: current cascade kernel vs lane-packed
+"""DEPRECATED INSTRUMENT (r5): per-op device self-times double-count
+overlapped work and python-loop chains clip at the ~4.4 ms dispatch
+floor (NOTES_ROUND5 measurement-layer rebuild). Kept for the kernel
+isolation harness only - do NOT quote its numbers for dispatch or
+default decisions; use scripts/ab.py compare_fori ablations instead.
+
+Device self-time comparison: current cascade kernel vs lane-packed
 variants, all in ONE compiled program (robust to tunnel jitter).
 
 Usage: python scripts/dissect_packed.py [levels] [W] [g ...]

@@ -1,4 +1,10 @@
-"""Device self-time: current cascade dispatch vs the column-slab tiled
+"""DEPRECATED INSTRUMENT (r5): per-op device self-times double-count
+overlapped work and python-loop chains clip at the ~4.4 ms dispatch
+floor (NOTES_ROUND5 measurement-layer rebuild). Kept for the kernel
+isolation harness only - do NOT quote its numbers for dispatch or
+default decisions; use scripts/ab.py compare_fori ablations instead.
+
+Device self-time: current cascade dispatch vs the column-slab tiled
 cascade, per level, at wide widths (x2/x3 bodies, large frames).
 
 Usage: python scripts/dissect_tiled.py [levels] [W] [batch]

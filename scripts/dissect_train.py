@@ -1,4 +1,10 @@
-"""Split the flagship train step's device time into forward and backward
+"""DEPRECATED INSTRUMENT (r5): per-op device self-times double-count
+overlapped work and python-loop chains clip at the ~4.4 ms dispatch
+floor (NOTES_ROUND5 measurement-layer rebuild). Kept for the kernel
+isolation harness only - do NOT quote its numbers for dispatch or
+default decisions; use scripts/ab.py compare_fori ablations instead.
+
+Split the flagship train step's device time into forward and backward
 and print per-op self-times for the gradient step.
 
 Three timed programs, one compile each, slope-method wall times plus an

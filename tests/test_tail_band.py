@@ -43,19 +43,23 @@ def test_band_tail_matches_conv_composition(scale, hw, rng):
     np.testing.assert_allclose(got, ph, atol=8e-3)
 
 
-def test_band_tail_tap_packed_matches_pertap(rng, monkeypatch):
-    """The tap-packed phase-conv formulation (one N=9*P*3 dot + shifted
-    slice-adds) must match the default 9-per-tap-dot form exactly — both
-    consume identical bf16 windows and accumulate in f32."""
+@pytest.mark.parametrize("mode", [True, "roll"])
+def test_band_tail_tap_packed_matches_pertap(rng, monkeypatch, mode):
+    """Every packed phase-conv formulation — True (one N=9*P*3 dot +
+    shifted slice-adds) and "roll" (same dot + lane-rotate reduction) —
+    must match a fixed per-tap (False) reference: all consume identical
+    bf16 windows and accumulate in f32 (the packed modes stage the band
+    bf16, which the per-tap dots cast to anyway)."""
     import m2trans_tpu.ops.pallas.tail_band as tb
 
     nf = 16
     p = _params(4, nf)
     x = jnp.asarray(rng.normal(0, 0.5, (2, 32, 32, nf)).astype(np.float32))
 
+    monkeypatch.setattr(tb, "_TAP_PACKED", False)
     ref = np.asarray(tail_band_apply(
         p, x, scale=4, rgb_range=1.0, interpret=True)).astype(np.float32)
-    monkeypatch.setattr(tb, "_TAP_PACKED", True)
+    monkeypatch.setattr(tb, "_TAP_PACKED", mode)
     got = np.asarray(tail_band_apply(
         p, x, scale=4, rgb_range=1.0, interpret=True)).astype(np.float32)
     np.testing.assert_allclose(got, ref, atol=1e-6)
