@@ -28,6 +28,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, List, Optional
 
@@ -349,13 +350,118 @@ def _packed_body_ok(bsz: int, h: int, w: int, cb: int, block: int,
 
 # ff-conv formulation inside the packed body flow (perf experiment knob):
 # "unpack"  per-CFTM unpack -> per-image conv -> repack (r3 default);
+# "pair"    pair-major lane permutation -> block-diagonal 2-image conv
+#           (K=128 full MXU depth) -> inverse permutation (r5): per-CFTM
+#           MXU tile-unit count 4896 vs unpack's 9792 — the unpack/pack
+#           selection einsums contract K=512 to produce 64 lanes/slot
+#           (8x K-redundant, 2304 units each) and the per-image conv
+#           contracts K=64 (half the MXU depth idle, 5184 units); the
+#           pair form pays 2x conv FLOPs to run every contraction at
+#           full depth;
 # "scatter" slot-scattered packed 512-lane conv (exact, 8x FLOPs —
-#           measured slower overall);
+#           measured slower, +4.3 ms/step r5 compare_fori);
 # "fused"   one Pallas kernel: packed band in -> per-image 3x3 conv via
-#           f32 staging -> packed band out + residual (r4);
+#           f32 staging -> packed band out + residual (r4; +0.69 ms/step
+#           vs unpack, r5 compare_fori);
 # "skip"    ABLATION ONLY (wrong values): bypass ff entirely to expose
 #           the unpack+conv+pack cost in scripts/ab_budget.py.
 _FF_MODE = "unpack"
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_perm_np(g: int = 8, nb: int = 4, cb: int = 16):
+    """(G*nb*cb, G*nb*cb) 0/1 permutation: branch-major packed lane
+    l = k*(g*cb) + s*cb + c  ->  pair-major lane
+    m = (s//2)*(2*nb*cb) + (s%2)*(nb*cb) + k*cb + c, so each 128-lane
+    block holds ONE IMAGE PAIR's full channel set and the ff conv
+    becomes a block-diagonal K=128 contraction that never crosses
+    blocks. Returns (P, P_inv) as float32 numpy."""
+    import numpy as np
+
+    n = g * nb * cb
+    c_im = nb * cb
+    p = np.zeros((n, n), np.float32)
+    for k in range(nb):
+        for s in range(g):
+            for c in range(cb):
+                l = k * (g * cb) + s * cb + c
+                m = (s // 2) * (2 * c_im) + (s % 2) * c_im + k * cb + c
+                p[l, m] = 1.0
+    return p, p.T
+
+
+def _ff_pair_conv(oc: jnp.ndarray, xp: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray, *, g: int,
+                  precision=None) -> jnp.ndarray:
+    """Packed ff conv via pair-major blocks (_FF_MODE="pair"; also the
+    differentiation path of the fused "pairk" kernel mode).
+
+    oc/xp: (bp, H, W, g*C) branch-major packed; w: (3, 3, C, C) HWIO;
+    b: (C,). Exactly pack(conv2d(unpack(oc), w, b, zeros)) + xp up to
+    f32 tap-summation order (the permutation einsums accumulate one
+    product per output lane — exact for bf16; the conv rounds to bf16 at
+    the same point as the unpack-mode conv2d)."""
+    bp, hh, ww, gc = oc.shape
+    c = gc // g
+    nb, cb = 4, c // 4
+    npair = g // 2
+    p_np, pinv_np = _pair_perm_np(g, nb, cb)
+    p_m = jnp.asarray(p_np, oc.dtype)
+    pinv_m = jnp.asarray(pinv_np, oc.dtype)
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+
+    # branch-major -> pair-major (one 512x512 permutation einsum)
+    xpair = jnp.einsum("bhwl,lm->bhwm", oc, p_m, **kw).astype(oc.dtype)
+
+    # block-diagonal 2-image conv: each 128-lane block = one image
+    # pair's channels; W2 = kron(I2, W_tap) per tap, K=128 full depth
+    w2 = jax.vmap(jax.vmap(
+        lambda wt: jnp.kron(jnp.eye(2, dtype=wt.dtype), wt)))(
+        w.astype(oc.dtype))                      # (3, 3, 2C, 2C)
+    xpad = jnp.pad(xpair, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xpad = xpad.reshape(bp, hh + 2, ww + 2, npair, 2 * c)
+    acc = jnp.zeros((bp, hh, ww, npair, 2 * c), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            win = xpad[:, dr:dr + hh, dc:dc + ww]
+            acc = acc + jnp.einsum("bhwjl,lm->bhwjm", win, w2[dr, dc],
+                                   **kw)
+    # round-to-dtype BEFORE the bias add, exactly like conv2d's
+    # bf16(conv) + bf16(bias) sequence in the unpack path
+    b2 = jnp.tile(b, 2).astype(oc.dtype)         # (2C,)
+    y = (acc.astype(oc.dtype) + b2).reshape(bp, hh, ww, gc)
+
+    # pair-major -> branch-major, then the module residual
+    yb = jnp.einsum("bhwm,ml->bhwl", y, pinv_m, **kw).astype(oc.dtype)
+    return yb + xp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ff_pairk(oc, xp, w, b, g, precision, interpret):
+    """Fused pair-major ff kernel with the exact XLA pair composition as
+    its differentiation path (same math, parity-tested; the kernel has
+    no auto-VJP)."""
+    from m2trans_tpu.ops.pallas.ff_pair import ff_pair_conv_fused
+
+    return ff_pair_conv_fused(oc, xp, w, b, g=g, interpret=interpret,
+                              precision=precision)
+
+
+def _ff_pairk_fwd(oc, xp, w, b, g, precision, interpret):
+    return _ff_pairk(oc, xp, w, b, g, precision, interpret), \
+        (oc, xp, w, b)
+
+
+def _ff_pairk_bwd(g, precision, interpret, res, ct):
+    oc, xp, w, b = res
+    _, vjp = jax.vjp(
+        lambda o, x, ww, bb: _ff_pair_conv(o, x, ww, bb, g=g,
+                                           precision=precision),
+        oc, xp, w, b)
+    return vjp(ct)
+
+
+_ff_pairk.defvjp(_ff_pairk_fwd, _ff_pairk_bwd)
 
 
 def _pack_ff_weight(w: jnp.ndarray, b: jnp.ndarray, g: int = 8,
@@ -576,6 +682,21 @@ def _cftm_apply_packed_core(p: Params, xp: jnp.ndarray,
     oc = jnp.concatenate([o1, o2, o3, o4], axis=-1)
     if _FF_MODE == "skip":  # ablation: expose the ff-block cost
         return oc + xp
+    if _FF_MODE == "pair":
+        return _ff_pair_conv(oc, xp, p["ff"]["w"], p["ff"]["b"], g=g,
+                             precision=policy.precision)
+    if _FF_MODE == "pairk":
+        from m2trans_tpu.ops.pallas.device import gate_profile
+        from m2trans_tpu.ops.pallas.ff_pair import ff_pair_vmem_bytes
+
+        lim = gate_profile().get("ff_pair_limit", 0.0)
+        if ff_pair_vmem_bytes(x.shape[2], oc.shape[-1]) <= lim:
+            return _ff_pairk(oc, xp,
+                             p["ff"]["w"].astype(policy.dtype),
+                             p["ff"]["b"].astype(jnp.float32), g,
+                             policy.precision, kw["interpret"])
+        return _ff_pair_conv(oc, xp, p["ff"]["w"], p["ff"]["b"], g=g,
+                             precision=policy.precision)
     if _FF_MODE == "fused":
         from m2trans_tpu.ops.pallas.ff_packed import packed_ff_conv
 

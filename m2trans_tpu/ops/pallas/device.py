@@ -105,6 +105,11 @@ _V5E = {
     # peak). The earlier monolithic formulations measured 18.5-23M scoped
     # vs the 16M ceiling; the split keeps every kernel ~11-12M estimated.
     "tail_bwd_limit": 13e6,
+    # Fused pair-major ff kernel (ff_pair.py) vs ff_pair_vmem_bytes.
+    # r5 calibration: see the probe results in scripts/calibrate_vmem.py
+    # usage — set after the real-HW probe; 0.0 keeps the XLA pair
+    # fallback until calibrated.
+    "ff_pair_limit": 0.0,
     # Packed-front BACKWARD (L=2): packed full-res adjoints + native-C
     # per-subgroup attention adjoint on a column-slab grid, vs
     # packed_front_bwd_vmem_bytes. r4 (scripts/ab_pf_bwd.py): the

@@ -54,6 +54,10 @@ def main():
 
     bodies = {
         "base": make_body("unpack", False, 1e-3),
+        # pair-major permutation + block-diag K=128 conv (r5): 4896 MXU
+        # tile-units/CFTM vs unpack's 9792 (the selection einsums are
+        # 8x K-redundant and the K=64 conv runs at half MXU depth)
+        "ff_pair": make_body("pair", False, 1.05e-3),
         "ff_fused": make_body("fused", False, 1.01e-3),
         # scatter's r3 "slower overall" verdict predates the corrected
         # instrument — re-judge (dense 512-lane dots: 8x FLOPs but zero

@@ -120,6 +120,31 @@ def probe_tail(h, w, nf, scale):
     tb._TAP_PACKED = False
 
 
+def probe_ffpair(h, w):
+    from m2trans_tpu.ops.pallas.ff_pair import (
+        ff_pair_conv_fused,
+        ff_pair_vmem_bytes,
+    )
+
+    g, nb, cb = 8, 4, 16
+    c = nb * cb
+    gc = g * c
+    key = jax.random.PRNGKey(0)
+    oc = jax.random.normal(key, (1, h, w, gc), jnp.bfloat16)
+    xp = jax.random.normal(key, (1, h, w, gc), jnp.bfloat16)
+    wgt = jax.random.normal(key, (3, 3, c, c), jnp.bfloat16)
+    b = jax.random.normal(key, (c,), jnp.float32)
+
+    def f(o, x):
+        return ff_pair_conv_fused(o, x, wgt, b, g=g, interpret=False)
+
+    real = peak_scoped_bytes(f, oc, xp)
+    ok = compiles_at_default(f, oc, xp)
+    print(f"ffpair shape=({h},{w},gc={gc}) real={real / 1e6:.2f}M "
+          f"compiles_at_16M={ok} "
+          f"est={ff_pair_vmem_bytes(w, gc) / 1e6:.2f}M", flush=True)
+
+
 def main():
     kind = sys.argv[1] if len(sys.argv) > 1 else "tail"
     print("devices:", jax.devices(), flush=True)
@@ -129,6 +154,10 @@ def main():
         else:
             h, w, nf, scale = 96, 96, 64, 4
         probe_tail(h, w, nf, scale)
+    elif kind == "ffpair":
+        h = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+        w = int(sys.argv[3]) if len(sys.argv) > 3 else 96
+        probe_ffpair(h, w)
     else:
         raise SystemExit(f"unknown probe kind {kind!r}")
 
