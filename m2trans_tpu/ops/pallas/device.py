@@ -105,11 +105,14 @@ _V5E = {
     # peak). The earlier monolithic formulations measured 18.5-23M scoped
     # vs the 16M ceiling; the split keeps every kernel ~11-12M estimated.
     "tail_bwd_limit": 13e6,
-    # Fused pair-major ff kernel (ff_pair.py) vs ff_pair_vmem_bytes.
-    # r5 calibration: see the probe results in scripts/calibrate_vmem.py
-    # usage — set after the real-HW probe; 0.0 keeps the XLA pair
-    # fallback until calibrated.
-    "ff_pair_limit": 0.0,
+    # Fused pair-major ff kernel (ff_pair.py) vs ff_pair_vmem_bytes
+    # (ESTIMATE-space limit; the estimator runs ~1.5x conservative).
+    # r5 calibration (real scoped VMEM, scripts/calibrate_vmem.py
+    # ffpair): W=96 est 16.47M / real 10.85M — ~5M under the 16M
+    # ceiling. 17e6 admits exactly the flagship-verified width; W=128
+    # (est 21.4M, real ~14M extrapolated, marginal) and wider stay on
+    # the XLA pair fallback until probed.
+    "ff_pair_limit": 17e6,
     # Packed-front BACKWARD (L=2): packed full-res adjoints + native-C
     # per-subgroup attention adjoint on a column-slab grid, vs
     # packed_front_bwd_vmem_bytes. r4 (scripts/ab_pf_bwd.py): the

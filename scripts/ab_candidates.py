@@ -58,6 +58,9 @@ def main():
         # tile-units/CFTM vs unpack's 9792 (the selection einsums are
         # 8x K-redundant and the K=64 conv runs at half MXU depth)
         "ff_pair": make_body("pair", False, 1.05e-3),
+        # the same dataflow fused in ONE Pallas kernel (in-VMEM MXU
+        # permutation dots; ~28 vs ~60 MB of HBM per CFTM)
+        "ff_pairk": make_body("pairk", False, 1.06e-3),
         "ff_fused": make_body("fused", False, 1.01e-3),
         # scatter's r3 "slower overall" verdict predates the corrected
         # instrument — re-judge (dense 512-lane dots: 8x FLOPs but zero
