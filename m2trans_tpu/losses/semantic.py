@@ -234,6 +234,29 @@ class SemanticLossFn:
             toks["token_type_ids"] = out["token_type_ids"].astype(np.int32)
         return toks
 
+    def loss_from_params(self, medclip_params, sr, hr,
+                         captions: Dict[str, Any], key=None):
+        """Same loss with the MedCLIP weights as an EXPLICIT (traced)
+        argument — required inside jitted train steps: closure-captured
+        weight trees are baked into the serialized compile payload as
+        HLO constants, which remote AOT compile services reject for the
+        89 MB BERT table (HTTP 413 via the axon tunnel)."""
+        if captions is None:
+            return jnp.float32(0.0)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return semantic_loss(
+            medclip_params, self.mcfg, sr, hr,
+            jnp.asarray(captions["input_ids"]),
+            jnp.asarray(captions["attention_mask"]),
+            key,
+            n_patches=self.n_patches,
+            clip_size=self.clip_size,
+            faithful=self.faithful,
+            token_type_ids=(jnp.asarray(captions["token_type_ids"])
+                            if "token_type_ids" in captions else None),
+        )
+
     def __call__(self, sr, hr, captions: Dict[str, Any], key=None):
         if captions is None:
             return jnp.float32(0.0)

@@ -86,7 +86,7 @@ def make_train_step(
 
     @partial(jax.jit, static_argnames=("do_cutout",), donate_argnums=(0, 1))
     def train_step(params, opt_state, lr_img, hr_img, key, captions,
-                   sample_mask=None, do_cutout=False):
+                   sample_mask=None, do_cutout=False, clip_params=None):
         k_mix, k_cut, k_clip, k_noise = jax.random.split(key, 4)
         if cfg.cutmix:
             lr_img, hr_img = cutmix(k_mix, lr_img, hr_img, scale=cfg.scale)
@@ -114,8 +114,18 @@ def make_train_step(
                       / jnp.sum(sample_mask)) * cfg.lambda_l1
             clip = jnp.float32(0.0)
             if semantic_loss_fn is not None and cfg.lambda_clip > 0:
-                clip = semantic_loss_fn(sr, hr_img, captions,
-                                        k_clip) * cfg.lambda_clip
+                if clip_params is not None:
+                    # MedCLIP weights MUST flow in as a traced argument:
+                    # a closure capture bakes the 89 MB BERT table into
+                    # the serialized compile payload, which a remote AOT
+                    # compile service rejects (observed HTTP 413 through
+                    # the axon tunnel; local PJRT merely bloats)
+                    clip = semantic_loss_fn.loss_from_params(
+                        clip_params, sr, hr_img, captions,
+                        k_clip) * cfg.lambda_clip
+                else:
+                    clip = semantic_loss_fn(sr, hr_img, captions,
+                                            k_clip) * cfg.lambda_clip
             return l1 + clip, {"l1": l1, "clip": clip}
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -247,9 +257,13 @@ class Trainer:
                            if caps is not None and
                            hasattr(self.semantic_loss_fn, "tokenize")
                            else None)
+                clip_p = (self.semantic_loss_fn.params
+                          if cap_tok is not None and
+                          hasattr(self.semantic_loss_fn, "params")
+                          else None)
                 self.params, self.opt_state, aux = self.train_step(
                     self.params, self.opt_state, lr_img, hr_img, step_key,
-                    cap_tok, mask, do_cutout=do_cutout)
+                    cap_tok, mask, do_cutout=do_cutout, clip_params=clip_p)
 
                 epoch_loss += float(aux["loss"])
                 l1_acc += float(aux["l1"])

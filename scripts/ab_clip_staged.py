@@ -61,31 +61,39 @@ def main():
             if x.dtype == jnp.float32 else x, mc_f32))
         kw = dict(n_patches=NP_, clip_size=CS)
 
+        # mc_p MUST be an explicit jit argument: a closed-over param tree
+        # is baked into the compile payload as HLO constants and the
+        # 89 MB BERT table blows the remote-compile body limit
+        # (HTTP 413 through the axon tunnel) — the reason this number
+        # was never captured in r4.
         @jax.jit
-        def full(sr, mc_p=mc_p, kw=kw):
+        def full_p(mc, sr, hr_, kw=kw):
             def f(s):
-                return semantic_loss(mc_p, mcfg, s, hr, ids, mask, key,
+                return semantic_loss(mc, mcfg, s, hr_, ids, mask, key,
                                      **kw)
             return jax.value_and_grad(f)(sr)
 
         @jax.jit
-        def const_stage(mc_p=mc_p, kw=kw):
+        def const_stage(mc, hr_, kw=kw):
             ys, xs = crop_offsets(key, BATCH, HR, HR, NP_ - 1, CS)
-            t = clip_text_embed(mc_p, mcfg, ids, mask)
-            sim_y = clip_image_sims(mc_p, mcfg, hr, ys, xs, t, **kw)
+            t = clip_text_embed(mc, mcfg, ids, mask)
+            sim_y = clip_image_sims(mc, mcfg, hr_, ys, xs, t, **kw)
             return ys, xs, t, sim_y
 
         @jax.jit
-        def grad_stage(sr, ys, xs, t, sim_y, mc_p=mc_p, kw=kw):
+        def grad_stage(mc, sr, ys, xs, t, sim_y, kw=kw):
             def f(s):
-                return semantic_loss_staged(mc_p, mcfg, s, ys, xs, t,
+                return semantic_loss_staged(mc, mcfg, s, ys, xs, t,
                                             sim_y, **kw)
             return jax.value_and_grad(f)(sr)
 
-        def staged(sr):
+        def full(sr, mc_p=mc_p):
+            return full_p(mc_p, sr, hr)
+
+        def staged(sr, mc_p=mc_p):
             # the const stage re-runs every step (captions/hr/key change
             # per step in training) — charged to this variant
-            return grad_stage(sr, *const_stage())
+            return grad_stage(mc_p, sr, *const_stage(mc_p, hr))
 
         # numerical sanity once per dtype
         v0, g0 = full(sr0)

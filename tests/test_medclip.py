@@ -232,6 +232,19 @@ def test_semantic_loss_fn_tokenize_and_train_step(tiny_loss, rng, tmp_path):
     assert float(aux["clip"]) > 0
     assert np.isfinite(float(aux["loss"]))
 
+    # explicit clip_params (the Trainer's production path: a closure-
+    # captured weight tree bakes into the serialized compile payload and
+    # a remote AOT compile rejects the 89 MB table — HTTP 413): the same
+    # step with the weights traced must produce the identical loss
+    mp3 = init_m2trans(jax.random.PRNGKey(3), cfg)
+    opt3 = tx.init(mp3)
+    _, _, aux2 = step(mp3, opt3, lr_img, hr_img, jax.random.PRNGKey(4),
+                      toks, clip_params=fn.params)
+    np.testing.assert_allclose(float(aux2["clip"]), float(aux["clip"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(aux2["loss"]), float(aux["loss"]),
+                               rtol=1e-6)
+
 
 def test_text_pooling_variants(tiny_loss, rng):
     import dataclasses
