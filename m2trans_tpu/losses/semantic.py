@@ -257,6 +257,54 @@ class SemanticLossFn:
                             if "token_type_ids" in captions else None),
         )
 
+    def const_stage_from_params(self, medclip_params, hr,
+                                captions: Dict[str, Any], key=None):
+        """Everything the CLIP loss needs that carries no d/d(sr): crop
+        offsets + text embedding + HR-side patch similarities. Computed
+        OUTSIDE the differentiated closure of the train step, so the
+        BERT text encoder (89 MB embedding table) and the HR-side Swin
+        forward never enter the backward program — measured -16.7
+        ms/step bf16 / -19.7 f32 at the x4 recipe vs the monolithic
+        loss (CLIP_STAGED_r05.json; composition parity:
+        tests/test_medclip.py::test_semantic_loss_staged_matches_monolithic).
+        Pairs with :meth:`loss_staged_from_params` inside the grad."""
+        if captions is None:
+            return None
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        bsz, h, w = hr.shape[0], hr.shape[1], hr.shape[2]
+        n_crops = max(self.n_patches - 1, 0)
+        if min(h, w) <= self.clip_size:
+            # small-image fallback (semantic_loss drops to the resized
+            # patch only); offsets are unused but keep a static shape
+            ys = xs = jnp.zeros((n_crops, bsz), jnp.int32)
+        else:
+            ys, xs = crop_offsets(key, bsz, h, w, n_crops,
+                                  self.clip_size)
+        t = clip_text_embed(
+            medclip_params, self.mcfg,
+            jnp.asarray(captions["input_ids"]),
+            jnp.asarray(captions["attention_mask"]),
+            faithful=self.faithful,
+            token_type_ids=(jnp.asarray(captions["token_type_ids"])
+                            if "token_type_ids" in captions else None))
+        sim_y = clip_image_sims(medclip_params, self.mcfg, hr, ys, xs, t,
+                                n_patches=self.n_patches,
+                                clip_size=self.clip_size)
+        return ys, xs, t, sim_y
+
+    def loss_staged_from_params(self, medclip_params, sr, const):
+        """Grad-side half of the staged loss: only the SR-side vision
+        encoder runs inside the differentiated program."""
+        if const is None:
+            return jnp.float32(0.0)
+        ys, xs, t, sim_y = const
+        return semantic_loss_staged(medclip_params, self.mcfg, sr, ys,
+                                    xs, t, sim_y,
+                                    n_patches=self.n_patches,
+                                    clip_size=self.clip_size,
+                                    faithful=self.faithful)
+
     def __call__(self, sr, hr, captions: Dict[str, Any], key=None):
         if captions is None:
             return jnp.float32(0.0)
