@@ -129,3 +129,26 @@ def test_tail_band_bwd_kernel_matches_xla_vjp(scale, hw, monkeypatch):
             tol = max(2e-3, 2e-2 * float(np.abs(b).max()))
             np.testing.assert_allclose(a, b, atol=tol,
                                        err_msg=f"{kk}.{sub}")
+
+
+@pytest.mark.parametrize("mode,fits_flagship", [
+    (False, True),      # per-tap: real 8.21M @ (96,96,x4,64) — fits
+    (True, True),       # slice-add: real 4.82M, est 12.6M < 14M — fits
+    ("roll", False),    # roll: real 17.25M > 16M ceiling — MUST be gated
+])
+def test_tail_gate_models_active_tap_mode(monkeypatch, mode,
+                                          fits_flagship):
+    """Regression for BENCH_r04 rc=1 (VERDICT r4 #1 / ADVICE r4): the
+    dispatch gate must bound the formulation the kernel will actually
+    run. The r4 snapshot flipped _TAP_PACKED to "roll" while the gate
+    kept estimating the per-tap dataflow (~15.2M, passes) though roll
+    really allocates 17.25M (> the 16M v5e scoped-VMEM ceiling,
+    calibrate_vmem.py) — the flagship serving path OOM'd at compile.
+    Pin: under each mode, the gate's verdict at the flagship shape
+    (96, 96, x4, nf=64) matches the hardware calibration, so a future
+    mode flip degrades to the XLA phase tail instead of a crash."""
+    import m2trans_tpu.ops.pallas.tail_band as tb
+    from m2trans_tpu.models.m2trans import _tail_band_fits
+
+    monkeypatch.setattr(tb, "_TAP_PACKED", mode)
+    assert _tail_band_fits(96, 96, 4, 64) == fits_flagship
