@@ -38,7 +38,13 @@ honest number for the >=10x claim), vs_baseline_high against 18 MP/s.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# persistent compile cache: a fresh bench process otherwise pays a full
+# remote recompile (minutes through the tunnel) before measuring
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/m2trans_tpu_jax_cache")
 
 BASELINE_MPS = 44.2        # point estimate (mid-band), output MP/s
 BASELINE_MPS_BAND = (18.0, 88.0)  # defended band, BASELINE.md
